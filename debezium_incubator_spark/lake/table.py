@@ -1,0 +1,366 @@
+"""LakeTable — a minimal transactional, bucketed table format on parquet.
+
+Plays the role Iceberg plays in the design (SURVEY.md §2.4, §4): snapshot
+isolation, time travel, schema evolution by field-id, and idempotent
+epoch-stamped commits. The physical layout is the one a key-partitioned
+MERGE wants at 100 TB:
+
+* data files are hash-bucketed on the primary key (``bucket_cols``), so a
+  CDC batch only rewrites the buckets it touches (copy-on-write per
+  bucket, like Iceberg CoW MERGE);
+* a JSON manifest per version lists files per bucket — manifest-level
+  bucket pruning replaces partition pruning;
+* commits are atomic via write-new-manifest + ``os.replace`` of a
+  VERSION pointer (readers never see a torn state);
+* ``summary`` carries ``{epoch, max_offsets, counters, phase}`` so the
+  exactly-once checkpoint can always be reconstructed from the committed
+  table itself (reference analog: offsets in
+  FileOffsetWriter.java:41-172, ack-then-mark in
+  KafkaRecordEmitter.java:58-100).
+
+Schema evolution: every field has a stable integer id. Renames are
+metadata-only; old data files are mapped to the current names by id at
+read time (reference analog: schema-history replay,
+OracleConnectorTask.java:70-76, AlterTableParserListener.java:76-133).
+
+Concurrency: single-writer enforced with an exclusive lock file
+(reference analog: FileOffsetWriter's FileLock, FileOffsetWriter.java).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from contextlib import contextmanager
+from typing import Any, Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+BUCKET_COL = "_bucket"
+
+
+class ConcurrentWriteError(RuntimeError):
+    """A second writer attempted to commit (reference: FileOffsetWriter lock)."""
+
+
+def bucket_expr(bucket_cols: list[str], num_buckets: int):
+    """Deterministic bucket id for a key — pure function, recomputable on read.
+
+    xxhash64 is a JVM-side, whole-stage-codegen hash; pmod keeps it
+    non-negative. Bucketing on the *full* primary key balances hot repos
+    across buckets (skew story for 100 TB).
+    """
+    return F.pmod(F.xxhash64(*[F.col(c) for c in bucket_cols]), F.lit(num_buckets)).cast("int")
+
+
+def _atomic_write(path: str, data: str) -> None:
+    tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        f.write(data)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+class LakeTable:
+    def __init__(self, path: str):
+        self.path = path
+        self.meta_dir = os.path.join(path, "_meta")
+        if not os.path.exists(os.path.join(self.meta_dir, "VERSION")):
+            raise FileNotFoundError(f"not a LakeTable: {path}")
+
+    # ------------------------------------------------------------------ create
+    @staticmethod
+    def create(
+        path: str,
+        schema: T.StructType,
+        bucket_cols: list[str],
+        num_buckets: int = 16,
+        properties: dict[str, Any] | None = None,
+    ) -> "LakeTable":
+        meta_dir = os.path.join(path, "_meta")
+        os.makedirs(meta_dir, exist_ok=True)
+        os.makedirs(os.path.join(path, "data"), exist_ok=True)
+        fields = [
+            {"id": i + 1, "name": f.name, "type": f.dataType.simpleString()}
+            for i, f in enumerate(schema.fields)
+        ]
+        manifest = {
+            "version": 0,
+            "parent": None,
+            "num_buckets": num_buckets,
+            "bucket_cols": bucket_cols,
+            "current_schema": 0,
+            "next_field_id": len(fields) + 1,
+            "schemas": {"0": fields},
+            "buckets": {},
+            "summary": {},
+            "properties": properties or {},
+        }
+        _atomic_write(os.path.join(meta_dir, "v00000.json"), json.dumps(manifest, indent=1))
+        _atomic_write(os.path.join(meta_dir, "VERSION"), "0")
+        return LakeTable(path)
+
+    @staticmethod
+    def exists(path: str) -> bool:
+        return os.path.exists(os.path.join(path, "_meta", "VERSION"))
+
+    # ------------------------------------------------------------------ meta
+    def version(self) -> int:
+        with open(os.path.join(self.meta_dir, "VERSION")) as f:
+            return int(f.read().strip())
+
+    def manifest(self, version: int | None = None) -> dict:
+        v = self.version() if version is None else version
+        with open(os.path.join(self.meta_dir, f"v{v:05d}.json")) as f:
+            return json.load(f)
+
+    def current_fields(self, manifest: dict | None = None) -> list[dict]:
+        m = manifest or self.manifest()
+        return m["schemas"][str(m["current_schema"])]
+
+    def spark_schema(self, manifest: dict | None = None) -> T.StructType:
+        fields = self.current_fields(manifest)
+        return T.StructType(
+            [T.StructField(f["name"], _parse_type(f["type"]), True) for f in fields]
+        )
+
+    def summary(self, version: int | None = None) -> dict:
+        return self.manifest(version).get("summary", {})
+
+    # ------------------------------------------------------------------ lock
+    @contextmanager
+    def _writer_lock(self):
+        lock = os.path.join(self.meta_dir, "LOCK")
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            # steal only if the owning pid is dead (crash recovery)
+            try:
+                with open(lock) as f:
+                    pid = int(f.read().strip() or "0")
+                os.kill(pid, 0)
+                alive = True
+            except (ProcessLookupError, ValueError):
+                alive = False
+            except PermissionError:
+                alive = True
+            if alive:
+                raise ConcurrentWriteError(f"another writer holds {lock}")
+            os.unlink(lock)
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        try:
+            os.write(fd, str(os.getpid()).encode())
+            os.close(fd)
+            yield
+        finally:
+            try:
+                os.unlink(lock)
+            except FileNotFoundError:
+                pass
+
+    # ------------------------------------------------------------------ read
+    def read(
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        buckets: Iterable[int] | None = None,
+        columns: list[str] | None = None,
+    ) -> DataFrame:
+        """Read the table at a version, optionally pruned to a bucket subset.
+
+        Bucket pruning happens here at the manifest level (driver-side) —
+        the Spark scan never even lists unrelated files; the equivalent of
+        Iceberg partition pruning.
+        """
+        m = self.manifest(version)
+        cur_fields = m["schemas"][str(m["current_schema"])]
+        wanted = set(range(m["num_buckets"])) if buckets is None else set(int(b) for b in buckets)
+
+        # group files by the schema version they were written under
+        by_schema: dict[str, list[str]] = {}
+        for b, files in m["buckets"].items():
+            if int(b) not in wanted:
+                continue
+            for fi in files:
+                by_schema.setdefault(str(fi["schema"]), []).append(
+                    os.path.join(self.path, fi["path"])
+                )
+
+        out_schema = T.StructType(
+            [T.StructField(f["name"], _parse_type(f["type"]), True) for f in cur_fields]
+        )
+        parts: list[DataFrame] = []
+        for sv, files in sorted(by_schema.items()):
+            df = spark.read.parquet(*files)
+            file_fields = {f["id"]: f for f in m["schemas"][sv]}
+            cols = []
+            for f in cur_fields:
+                src = file_fields.get(f["id"])
+                if src is None:
+                    cols.append(F.lit(None).cast(f["type"]).alias(f["name"]))
+                else:
+                    cols.append(F.col(src["name"]).cast(f["type"]).alias(f["name"]))
+            parts.append(df.select(*cols))
+        if not parts:
+            return spark.createDataFrame([], out_schema)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        if columns:
+            out = out.select(*columns)
+        return out
+
+    def with_bucket(self, df: DataFrame, manifest: dict | None = None) -> DataFrame:
+        m = manifest or self.manifest()
+        return df.withColumn(BUCKET_COL, bucket_expr(m["bucket_cols"], m["num_buckets"]))
+
+    # ------------------------------------------------------------------ write
+    def commit(
+        self,
+        df: DataFrame,
+        replace_buckets: Iterable[int],
+        summary: dict | None = None,
+        expected_version: int | None = None,
+    ) -> int:
+        """Copy-on-write commit: rewrite ``replace_buckets`` with ``df``.
+
+        ``df`` must contain exactly the surviving rows of the replaced
+        buckets, with a ``_bucket`` column. Untouched buckets keep their
+        existing files — at 100 TB a CDC batch touching 1% of buckets
+        rewrites 1% of the table.
+        """
+        with self._writer_lock():
+            m = self.manifest()
+            if expected_version is not None and m["version"] != expected_version:
+                raise ConcurrentWriteError(
+                    f"version moved: expected {expected_version}, found {m['version']}"
+                )
+            new_version = m["version"] + 1
+            rel_dir = f"data/v{new_version:05d}-{uuid.uuid4().hex[:8]}"
+            out_dir = os.path.join(self.path, rel_dir)
+            replace = set(int(b) for b in replace_buckets)
+
+            cur_names = [f["name"] for f in self.current_fields(m)]
+            # one shuffle keyed on bucket → one file-group per bucket;
+            # AQE coalesces small buckets into shared tasks
+            (
+                df.select(*cur_names, BUCKET_COL)
+                .repartition(max(len(replace), 1), F.col(BUCKET_COL))
+                .write.partitionBy(BUCKET_COL)
+                .mode("overwrite")
+                .parquet(out_dir)
+            )
+
+            new_buckets = dict(m["buckets"])
+            for b in replace:
+                new_buckets.pop(str(b), None)
+            sv = m["current_schema"]
+            for entry in sorted(os.listdir(out_dir)):
+                if not entry.startswith(f"{BUCKET_COL}="):
+                    continue
+                b = int(entry.split("=", 1)[1])
+                if b not in replace:
+                    raise ValueError(f"df contains rows for unexpected bucket {b}")
+                files = [
+                    {"path": f"{rel_dir}/{entry}/{fn}", "schema": sv}
+                    for fn in sorted(os.listdir(os.path.join(out_dir, entry)))
+                    if fn.endswith(".parquet")
+                ]
+                if files:
+                    new_buckets[str(b)] = files
+
+            m_new = dict(m)
+            m_new.update(
+                version=new_version,
+                parent=m["version"],
+                buckets=new_buckets,
+                summary=summary or {},
+            )
+            self._publish(m_new)
+            return new_version
+
+    def commit_schema_change(self, new_fields: list[dict], summary: dict | None = None) -> int:
+        """Metadata-only commit (DDL): new current schema, same data files."""
+        with self._writer_lock():
+            m = self.manifest()
+            new_version = m["version"] + 1
+            new_schema_id = m["current_schema"] + 1
+            schemas = dict(m["schemas"])
+            schemas[str(new_schema_id)] = new_fields
+            m_new = dict(m)
+            m_new.update(
+                version=new_version,
+                parent=m["version"],
+                current_schema=new_schema_id,
+                schemas=schemas,
+                next_field_id=max(
+                    m["next_field_id"], max((f["id"] for f in new_fields), default=0) + 1
+                ),
+                summary=summary or dict(m.get("summary", {})),
+            )
+            self._publish(m_new)
+            return new_version
+
+    def add_column(self, name: str, dtype: str) -> int:
+        m = self.manifest()
+        fields = [dict(f) for f in self.current_fields(m)]
+        if any(f["name"] == name for f in fields):
+            raise ValueError(f"column exists: {name}")
+        fields.append({"id": m["next_field_id"], "name": name, "type": dtype})
+        return self.commit_schema_change(fields)
+
+    def rename_column(self, old: str, new: str) -> int:
+        m = self.manifest()
+        fields = [dict(f) for f in self.current_fields(m)]
+        hit = [f for f in fields if f["name"] == old]
+        if not hit:
+            raise ValueError(f"no such column: {old}")
+        hit[0]["name"] = new
+        return self.commit_schema_change(fields)
+
+    def drop_column(self, name: str) -> int:
+        m = self.manifest()
+        fields = [dict(f) for f in self.current_fields(m) if f["name"] != name]
+        return self.commit_schema_change(fields)
+
+    def _publish(self, manifest: dict) -> None:
+        _atomic_write(
+            os.path.join(self.meta_dir, f"v{manifest['version']:05d}.json"),
+            json.dumps(manifest, indent=1),
+        )
+        _atomic_write(os.path.join(self.meta_dir, "VERSION"), str(manifest["version"]))
+
+    # ------------------------------------------------------------------ maintenance
+    def expire_versions(self, keep_last: int = 2) -> list[int]:
+        """GC old versions + unreferenced data dirs (reference analog:
+        commit-log archive/delete post-processing, QueueProcessor.java:85-106)."""
+        cur = self.version()
+        keep = set(range(max(0, cur - keep_last + 1), cur + 1))
+        live_dirs: set[str] = set()
+        for v in keep:
+            for files in self.manifest(v)["buckets"].values():
+                for fi in files:
+                    live_dirs.add(fi["path"].split("/")[1])
+        removed = []
+        for fn in os.listdir(self.meta_dir):
+            if fn.startswith("v") and fn.endswith(".json"):
+                v = int(fn[1:6])
+                if v not in keep:
+                    os.unlink(os.path.join(self.meta_dir, fn))
+                    removed.append(v)
+        data_dir = os.path.join(self.path, "data")
+        for d in os.listdir(data_dir):
+            if d not in live_dirs:
+                import shutil
+
+                shutil.rmtree(os.path.join(data_dir, d), ignore_errors=True)
+        return sorted(removed)
+
+
+def _parse_type(ddl: str) -> T.DataType:
+    # struct<...> etc. all round-trip through simpleString/fromDDL
+    return T._parse_datatype_string(ddl)

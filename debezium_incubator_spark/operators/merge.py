@@ -1,0 +1,141 @@
+"""D3 — MERGE INTO (upsert-apply) as key-partitioned copy-on-write.
+
+Reference semantics: the Kafka compacted topic keyed by PK *is* the
+materialized table (Record.buildKey, Record.java:73-84); insert/update
+replace the value, delete + tombstone remove the key
+(TombstoneRecord.java:14-24). We apply a deduped batch to the LakeTable
+the way Iceberg CoW MERGE does physically, with an explicit shuffle
+story:
+
+1. bucket the batch on the primary key (same function as the table
+   layout) — changed buckets = the only data ever rewritten;
+2. LWW-dedup the batch (hash agg, skew-proof — see dedup.py);
+3. survivors = current rows of changed buckets ANTI JOIN batch keys.
+   The key set of a CDC batch is small relative to the target, so it is
+   BROADCAST: the 100 TB side never shuffles;
+4. new bucket contents = survivors ∪ batch upserts, one commit.
+
+Partial-image updates (cell ``set`` flags,
+CommitLogReadHandlerImpl.java:351-410 null-vs-unset semantics) are
+supported via an ``after_set`` column: matched current rows are fetched
+with a broadcast SEMI join and coalesced field-wise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark import StorageLevel
+
+from debezium_incubator_spark.lake.table import BUCKET_COL, LakeTable
+
+DEFAULT_DELETE_OPS = ("d", "t")
+
+
+def merge_upsert(
+    table: LakeTable,
+    batch,
+    key_cols: list[str],
+    order_cols: list[str],
+    op_col: str = "op",
+    delete_ops: tuple[str, ...] = DEFAULT_DELETE_OPS,
+    summary: dict | None = None,
+    after_set_col: str | None = None,
+    broadcast_keys_max: int = 4_000_000,
+) -> tuple[int, dict]:
+    """Apply one change batch; returns (new_table_version, batch_stats).
+
+    ``batch`` columns: key_cols + table payload columns + op + order
+    columns. ``batch_stats`` = {"max_offsets": {bucket: long},
+    "counters": {...}} for the checkpoint.
+    """
+    spark = batch.sparkSession
+    m = table.manifest()
+    target_cols = [f["name"] for f in table.current_fields(m)]
+    payload_cols = [c for c in target_cols if c not in key_cols]
+
+    b = table.with_bucket(batch, m).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        order0 = order_cols[0]
+        stats_rows = (
+            b.groupBy(BUCKET_COL)
+            .agg(
+                F.max(order0).alias("max_off"),
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col(op_col).isin(*delete_ops).cast("long")).alias("n_del"),
+                F.sum((F.col(op_col) == "t").cast("long")).alias("n_tomb"),
+            )
+            .collect()
+        )
+        if not stats_rows:
+            return table.version(), {"max_offsets": {}, "counters": {"events_in": 0}}
+
+        changed = sorted(int(r[BUCKET_COL]) for r in stats_rows)
+        max_offsets = {str(int(r[BUCKET_COL])): int(r["max_off"]) for r in stats_rows}
+        events_in = sum(int(r["n"]) for r in stats_rows)
+        n_del = sum(int(r["n_del"]) for r in stats_rows)
+        n_tomb = sum(int(r["n_tomb"]) for r in stats_rows)
+
+        extra = [c for c in (op_col, BUCKET_COL, after_set_col) if c]
+        latest = _lww(b, key_cols, order_cols, payload_cols + extra)
+
+        keys = latest.select(*key_cols)
+        if events_in <= broadcast_keys_max:
+            keys = F.broadcast(keys)
+
+        current = table.with_bucket(table.read(spark, buckets=changed), m)
+        survivors = current.join(keys, key_cols, "left_anti")
+
+        upserts = latest.filter(~F.col(op_col).isin(*delete_ops))
+        if after_set_col:
+            upserts = _coalesce_partial(
+                upserts, current, key_cols, payload_cols, after_set_col, op_col
+            )
+        upserts = upserts.select(*key_cols, *payload_cols, BUCKET_COL)
+
+        out = survivors.select(*key_cols, *payload_cols, BUCKET_COL).unionByName(upserts)
+
+        counters = {
+            "events_in": events_in,
+            "deletes": n_del,
+            "tombstones": n_tomb,
+            "buckets_touched": len(changed),
+        }
+        full_summary = dict(summary or {})
+        full_summary["max_offsets"] = max_offsets
+        full_summary["counters"] = counters
+        version = table.commit(out, replace_buckets=changed, summary=full_summary)
+        return version, {"max_offsets": max_offsets, "counters": counters}
+    finally:
+        b.unpersist()
+
+
+def _lww(df, key_cols, order_cols, payload_cols):
+    order = F.struct(*[F.col(c) for c in order_cols])
+    agg = df.groupBy(*key_cols).agg(
+        F.max_by(F.struct(*[F.col(c) for c in payload_cols]), order).alias("__top")
+    )
+    return agg.select(*key_cols, *[F.col(f"__top.{c}").alias(c) for c in payload_cols])
+
+
+def _coalesce_partial(upserts, current, key_cols, payload_cols, after_set_col, op_col):
+    """Cell-level set flags: a payload field absent from ``after_set`` on
+    an update keeps the current table value (null-vs-unset distinction,
+    CellData 'set' sub-field, CellData.java:27-87).
+
+    Matched rows are a subset of the batch key set → SEMI-join with the
+    (already small) upsert keys, then broadcast the matched rows back.
+    """
+    matched = current.join(
+        F.broadcast(upserts.select(*key_cols)), key_cols, "left_semi"
+    ).select(*key_cols, *[F.col(c).alias(f"__cur_{c}") for c in payload_cols])
+    joined = upserts.join(F.broadcast(matched), key_cols, "left")
+    cols = []
+    for c in payload_cols:
+        keep_current = (
+            (F.col(op_col) == "u")
+            & F.col(after_set_col).isNotNull()
+            & ~F.array_contains(F.col(after_set_col), c)
+        )
+        cols.append(F.when(keep_current, F.col(f"__cur_{c}")).otherwise(F.col(c)).alias(c))
+    keep = [k for k in joined.columns if not k.startswith("__cur_") and k not in payload_cols]
+    return joined.select(*keep, *cols)

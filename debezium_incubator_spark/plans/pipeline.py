@@ -1,0 +1,283 @@
+"""CDCEngine — snapshot-then-stream apply loop with exactly-once commits.
+
+The whole reference lifecycle (SURVEY.md §3) collapses into this driver
+class: the four reference processor threads
+(CassandraConnectorTask.java:191-228) become Spark jobs; the blocking
+queue becomes micro-batch range slicing; the Kafka ack-then-mark
+protocol (KafkaRecordEmitter.java:58-100) becomes commit-THEN-checkpoint
+with summary-based recovery.
+
+Exactly-once invariant: for epoch k,
+  1. data commit stamps {epoch: k, batch max_offsets, counters} into the
+     table manifest summary (transactional);
+  2. only then is checkpoint k written (merge of checkpoint k-1 + the
+     summary).
+A crash between 1 and 2 is healed on restart: the table's committed
+epoch is ahead of the checkpoint, so the engine rebuilds checkpoint k
+from the summary and skips re-applying — a replayed epoch is a no-op
+(≙ isOffsetProcessed guard, FileOffsetWriter.java:92-104; duplicate LCR
+position guard, LcrEventHandler.java:53-65).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from debezium_incubator_spark.lake.checkpoint import CheckpointStore
+from debezium_incubator_spark.lake.table import BUCKET_COL, LakeTable
+from debezium_incubator_spark.operators.dedup import filter_processed
+from debezium_incubator_spark.operators.envelope import (
+    DELETE_OPS,
+    KEY_COLS,
+    fingerprint,
+    normalize_content,
+)
+from debezium_incubator_spark.operators.filters import drop_envelope_fields, table_filter
+from debezium_incubator_spark.operators.merge import merge_upsert
+from debezium_incubator_spark.sources.snapshot import snapshot_envelopes
+
+
+class CDCEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        table_path: str,
+        checkpoint_path: str,
+        key_cols: list[str] | None = None,
+        payload_fields: list[tuple[str, str]] | None = None,
+        num_buckets: int = 16,
+        include_regex: str | None = None,
+        exclude_regex: str | None = None,
+        field_blacklist: list[str] | None = None,
+        normalize: bool = True,
+        content_field: str = "content",
+        exclude_system: bool = True,
+    ):
+        self.spark = spark
+        self.table_path = table_path
+        self.store = CheckpointStore(checkpoint_path)
+        self.key_cols = key_cols or list(KEY_COLS)
+        self.payload_fields = payload_fields or [
+            ("commit", "string"),
+            ("lang", "string"),
+            ("content", "string"),
+        ]
+        self.num_buckets = num_buckets
+        self.include_regex = include_regex
+        self.exclude_regex = exclude_regex
+        self.field_blacklist = field_blacklist or []
+        self.normalize = normalize
+        self.content_field = content_field
+        self.exclude_system = exclude_system
+        self._table: LakeTable | None = None
+
+    # ------------------------------------------------------------- target table
+    @property
+    def table(self) -> LakeTable:
+        if self._table is None:
+            self._table = LakeTable(self.table_path)
+        return self._table
+
+    def create_target(self) -> LakeTable:
+        fields = [(k, "string") for k in self.key_cols] + list(self.payload_fields)
+        if self.content_field in [n for n, _ in self.payload_fields]:
+            fields.append(("content_sha256", "string"))
+        schema = T.StructType(
+            [T.StructField(n, T._parse_datatype_string(t), True) for n, t in fields]
+        )
+        self._table = LakeTable.create(
+            self.table_path, schema, bucket_cols=self.key_cols, num_buckets=self.num_buckets
+        )
+        return self._table
+
+    # ------------------------------------------------------------- envelope → flat
+    def _payload_names(self) -> list[str]:
+        fields = [f["name"] for f in self.table.current_fields()]
+        return [c for c in fields if c not in self.key_cols and c != "content_sha256"]
+
+    def _unwrap(self, events: DataFrame, renames: list[dict]) -> DataFrame:
+        """T3/T4/T10/T11 — envelope → apply-ready flat rows, mapping
+        pre-rename envelope field names onto the current schema (hard
+        part (c): replay across renames keeps sha256 parity)."""
+        after_fields = {f.name for f in events.schema["after"].dataType.fields}
+        old_names = {}
+        for r in renames:
+            old_names[r["new"]] = r["old"]
+        cols = [F.col("offset"), F.col("op"), F.col("ts_ms")]
+        cols += [F.col(k) for k in self.key_cols]
+        payload = self._payload_names()
+        for name in payload:
+            src = name
+            while src not in after_fields and src in old_names:
+                src = old_names[src]
+            if src in after_fields:
+                cols.append(F.col(f"after.{src}").alias(name))
+            else:
+                cols.append(F.lit(None).cast("string").alias(name))
+        out = events.select(*cols)
+        if self.content_field in payload:
+            c = F.col(self.content_field)
+            if self.normalize:
+                c = normalize_content(c)
+            out = out.withColumn(self.content_field, c).withColumn(
+                "content_sha256",
+                F.when(
+                    F.col(self.content_field).isNotNull(), fingerprint(F.col(self.content_field))
+                ),
+            )
+        return out
+
+    def _prefilter(self, events: DataFrame) -> DataFrame:
+        ev = table_filter(
+            events,
+            include_regex=self.include_regex,
+            exclude_regex=self.exclude_regex,
+            table_col=self.key_cols[0],
+            exclude_system=self.exclude_system,
+        )
+        return drop_envelope_fields(ev, self.field_blacklist)
+
+    # ------------------------------------------------------------- epochs
+    def _recover_if_committed(self, ckpt: dict, target_epoch: int) -> dict | None:
+        s = self.table.summary()
+        if s.get("epoch") == target_epoch:
+            new_ckpt = self._advance(ckpt, s, self.table.version())
+            self.store.save(new_ckpt)
+            return new_ckpt
+        return None
+
+    def _advance(self, ckpt: dict, summary: dict, table_version: int) -> dict:
+        return {
+            "epoch": summary["epoch"],
+            "phase": summary.get("phase", ckpt.get("phase", "stream")),
+            "snapshot_version": summary.get(
+                "snapshot_version", ckpt.get("snapshot_version")
+            ),
+            "table_version": table_version,
+            "stream_pos": summary.get("stream_pos", ckpt.get("stream_pos", -1)),
+            "renames": ckpt.get("renames", []),
+            "max_offsets": CheckpointStore.merge_max_offsets(
+                ckpt.get("max_offsets", {}), summary.get("max_offsets", {})
+            ),
+            "counters": CheckpointStore.merge_counters(
+                ckpt.get("counters", {}), summary.get("counters", {})
+            ),
+        }
+
+    def bootstrap(self, source: DataFrame, snapshot_version: int | None = None) -> dict:
+        """D6/S1/S2 — snapshot phase: consistent read → 'r' envelopes →
+        merge as epoch 0 → phase flips to 'stream'. Skipped entirely when
+        a previous offset exists (OracleSnapshotChangeEventSource.java:55-69;
+        SnapshotProcessorTest re-snapshot guard)."""
+        ckpt = self.store.latest()
+        if ckpt["phase"] != "snapshot":
+            return ckpt
+        recovered = self._recover_if_committed(ckpt, 0)
+        if recovered is not None:
+            return recovered
+        payload = self._payload_names()
+        env = snapshot_envelopes(source, payload_fields=payload)
+        return self.apply_epoch(env, phase="stream", snapshot_version=snapshot_version)
+
+    def apply_epoch(
+        self,
+        events: DataFrame,
+        phase: str = "stream",
+        snapshot_version: int | None = None,
+        stream_pos: int | None = None,
+    ) -> dict:
+        """Apply one micro-batch exactly once; returns the new checkpoint."""
+        ckpt = self.store.latest()
+        target_epoch = ckpt["epoch"] + 1
+        recovered = self._recover_if_committed(ckpt, target_epoch)
+        if recovered is not None:
+            return recovered
+
+        renames = ckpt.get("renames", [])
+        flat = self._unwrap(self._prefilter(events), renames)
+        flat = self.table.with_bucket(flat)
+        flat = filter_processed(
+            flat, ckpt.get("max_offsets", {}), num_buckets=self.num_buckets
+        )
+
+        summary: dict[str, Any] = {
+            "epoch": target_epoch,
+            "phase": phase,
+            "snapshot_version": (
+                snapshot_version
+                if snapshot_version is not None
+                else ckpt.get("snapshot_version")
+            ),
+        }
+        if stream_pos is not None:
+            summary["stream_pos"] = stream_pos
+
+        version, stats = merge_upsert(
+            self.table,
+            flat,
+            key_cols=self.key_cols,
+            order_cols=["offset", "op"],
+            summary=summary,
+        )
+        if not stats["max_offsets"] and stats["counters"].get("events_in", 0) == 0:
+            # K5 heartbeat: empty batch still advances the epoch/offsets
+            summary["max_offsets"] = {}
+            summary["counters"] = {"events_in": 0}
+        else:
+            summary["max_offsets"] = stats["max_offsets"]
+            summary["counters"] = stats["counters"]
+        new_ckpt = self._advance(ckpt, summary, version)
+        self.store.save(new_ckpt)
+        return new_ckpt
+
+    def run(self, changelog, offsets_per_epoch: int = 400_000, max_epochs: int | None = None):
+        """Stream loop: slice the changelog into offset ranges (D5 batch
+        sizing ≙ max.batch.size drain, BlockingEventQueue.java:44-59) and
+        apply each as an epoch. Resumable from any checkpoint."""
+        top = changelog.max_offset(self.spark)
+        applied = []
+        n = 0
+        while True:
+            ckpt = self.store.latest()
+            if ckpt["phase"] == "snapshot":
+                raise RuntimeError("bootstrap() must run before streaming")
+            start = int(ckpt.get("stream_pos", -1))
+            if start >= top or (max_epochs is not None and n >= max_epochs):
+                break
+            end = min(start + offsets_per_epoch, top)
+            batch = changelog.range(self.spark, start, end)
+            applied.append(self.apply_epoch(batch, stream_pos=end))
+            n += 1
+        return applied
+
+    # ------------------------------------------------------------- DDL (S7)
+    def add_column(self, name: str, dtype: str = "string") -> None:
+        self.table.add_column(name, dtype)
+
+    def rename_column(self, old: str, new: str) -> None:
+        """Rename = metadata-only (field-id mapping); the old→new mapping
+        is also recorded so pre-rename envelopes keep applying
+        (≙ schema-history replay, OracleConnectorTask.java:70-76)."""
+        self.table.rename_column(old, new)
+        ckpt = self.store.latest()
+        ckpt.setdefault("renames", []).append({"old": old, "new": new})
+        self.store.save(ckpt)
+
+    # ------------------------------------------------------------- reads / metrics
+    def final_state(self, version: int | None = None) -> DataFrame:
+        return self.table.read(self.spark, version=version)
+
+    def metrics(self) -> dict:
+        """M1/M2 — cumulative counters + per-bucket lineage."""
+        ckpt = self.store.latest()
+        return {
+            "epoch": ckpt["epoch"],
+            "phase": ckpt["phase"],
+            "counters": ckpt.get("counters", {}),
+            "max_offsets": ckpt.get("max_offsets", {}),
+            "table_version": ckpt.get("table_version"),
+        }
