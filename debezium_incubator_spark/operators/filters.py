@@ -41,14 +41,14 @@ def drop_envelope_fields(
     for sc in struct_cols:
         if sc not in df.columns:
             continue
-        subfields = [f.name for f in df.schema[sc].dataType.fields]
-        keep = [f for f in subfields if f not in fields]
-        rebuilt = F.struct(*[F.col(f"{sc}.{f}").alias(f) for f in keep])
+        subfields = {f.name: f.dataType for f in df.schema[sc].dataType.fields}
+        scrubbed = F.col(sc)
+        for f in fields:
+            if f in subfields:
+                scrubbed = scrubbed.withField(f, F.lit(None).cast(subfields[f]))
         out = out.withColumn(
             sc,
-            F.when(F.col("op").isin(*DELETE_OPS), F.col(sc).dropFields(*fields)).otherwise(
-                F.when(F.col(sc).isNull(), F.lit(None)).otherwise(rebuilt)
-            ),
+            F.when(F.col("op").isin(*DELETE_OPS), F.col(sc)).otherwise(scrubbed),
         )
     return out
 

@@ -210,7 +210,8 @@ def gen_changelog(
     ev_c_new = mk("c", new_path, null_img, new_img)
 
     events = (
-        F.when(F.col("is_pk"), F.array(ev_d, ev_t, ev_c_new))
+        F.when(F.col("is_pk") & F.lit(tombstones), F.array(ev_d, ev_t, ev_c_new))
+        .when(F.col("is_pk"), F.array(ev_d, ev_c_new))
         .when(F.col("is_d") & F.lit(tombstones), F.array(ev_d, ev_t))
         .when(F.col("is_d"), F.array(ev_d))
         .otherwise(F.array(ev_plain))

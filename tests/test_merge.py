@@ -1,0 +1,82 @@
+"""D3 merge-upsert unit tests incl. partial-image (cell set-flag)
+semantics (CommitLogReadHandlerImpl null-vs-unset, CellData 'set')."""
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from debezium_incubator_spark.lake.table import LakeTable
+from debezium_incubator_spark.operators.merge import merge_upsert
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("content", T.StringType()),
+        T.StructField("lang", T.StringType()),
+    ]
+)
+
+
+def _table(spark, tmp_table, rows):
+    t = LakeTable.create(tmp_table, SCHEMA, bucket_cols=["repo", "path"], num_buckets=4)
+    if rows:
+        df = t.with_bucket(spark.createDataFrame(rows, SCHEMA))
+        t.commit(df, replace_buckets=range(4), summary={"epoch": 0})
+    return t
+
+
+BATCH_DDL = (
+    "repo string, path string, content string, lang string, op string, offset long"
+)
+
+
+def test_merge_insert_update_delete(spark, tmp_table):
+    t = _table(spark, tmp_table, [("r", "a", "v0", "py"), ("r", "b", "w0", "py")])
+    batch = spark.createDataFrame(
+        [
+            ("r", "a", "v1", "py", "u", 10),
+            ("r", "a", "v2", "py", "u", 20),  # later offset wins
+            ("r", "b", None, None, "d", 11),
+            ("r", "b", None, None, "t", 12),
+            ("r", "c", "new", "go", "c", 13),
+        ],
+        BATCH_DDL,
+    )
+    v, stats = merge_upsert(t, batch, ["repo", "path"], ["offset", "op"], summary={"epoch": 1})
+    got = {(r["path"]): (r["content"], r["lang"]) for r in t.read(spark).collect()}
+    assert got == {"a": ("v2", "py"), "c": ("new", "go")}
+    assert stats["counters"]["events_in"] == 5
+    assert stats["counters"]["deletes"] == 2 and stats["counters"]["tombstones"] == 1
+    assert t.summary()["epoch"] == 1
+
+
+def test_merge_untouched_buckets_not_rewritten(spark, tmp_table):
+    rows = [("r", f"p{i}", f"v{i}", "py") for i in range(32)]
+    t = _table(spark, tmp_table, rows)
+    m1 = t.manifest()
+    one = spark.createDataFrame([("r", "p0", "VV", "py", "u", 5)], BATCH_DDL)
+    merge_upsert(t, one, ["repo", "path"], ["offset", "op"], summary={"epoch": 1})
+    m2 = t.manifest()
+    changed = [b for b in m2["buckets"] if m2["buckets"][b] != m1["buckets"].get(b)]
+    assert len(changed) == 1  # only the bucket containing (r,p0)
+    assert t.read(spark).filter(F.col("path") == "p0").first()["content"] == "VV"
+    assert t.read(spark).count() == 32
+
+
+def test_merge_partial_images_after_set(spark, tmp_table):
+    t = _table(spark, tmp_table, [("r", "a", "v0", "py")])
+    batch = spark.createDataFrame(
+        [
+            # update sets only content — lang must keep current value
+            ("r", "a", "v1", None, "u", 10, ["content"]),
+            # full-image update (no set list) replaces everything
+            ("r", "b", "w1", "go", "c", 11, None),
+        ],
+        BATCH_DDL + ", after_set array<string>",
+    )
+    merge_upsert(
+        t, batch, ["repo", "path"], ["offset", "op"],
+        summary={"epoch": 1}, after_set_col="after_set",
+    )
+    got = {r["path"]: (r["content"], r["lang"]) for r in t.read(spark).collect()}
+    assert got == {"a": ("v1", "py"), "b": ("w1", "go")}
