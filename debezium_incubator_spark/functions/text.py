@@ -1,0 +1,134 @@
+"""Text-analysis functions for training-data pipelines.
+
+All hot-path expressions are JVM-side Column ops (whole-stage codegen);
+the only pandas UDF is the rolling-hash fingerprint where a loop over
+characters is genuinely needed. Every oracle-checked function is written
+so the identical formula is expressible in ANSI SQL (DuckDB parity):
+explicit character classes, explicit tie-break order, round(…, 4).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+# deliberately explicit classes — \w/\s differ between regex engines
+WORD_RE = "[A-Za-z0-9]+"
+BPE_RE = "[A-Za-z0-9]+|[^A-Za-z0-9 \\t\\n\\r]"
+PUNCT_RE = "[^A-Za-z0-9 \\t\\n\\r]"
+
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "a", "that"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "zu"],
+    "fr": ["le", "la", "et", "les", "des", "est", "une", "dans"],
+    "es": ["el", "los", "de", "que", "y", "una", "por", "con"],
+}
+
+
+def ws_token_count(text: Column) -> Column:
+    """Whitespace token count (0 for empty/blank)."""
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, "[ \\t\\n\\r]+"))
+    )
+
+
+def bpe_token_count(text: Column) -> Column:
+    """BPE-ish token count: alnum runs + individual punctuation marks."""
+    return F.regexp_count(text, F.lit(BPE_RE))
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    t = F.col(text_col)
+    return df.select(
+        *[c for c in df.columns if c != text_col],
+        ws_token_count(t).alias("ws_tokens"),
+        bpe_token_count(t).alias("bpe_tokens"),
+        F.length(t).alias("char_count"),
+    )
+
+
+def _stop_hits(text_lower: Column, words: list[str]) -> Column:
+    pat = r"\b(" + "|".join(words) + r")\b"
+    return F.regexp_count(text_lower, F.lit(pat))
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic document quality in [0,1]: length saturation + low
+    punctuation density + stopword presence. Formula is fixed and
+    documented so the DuckDB oracle computes the identical expression."""
+    t = F.col(text_col)
+    n = F.length(t).cast("double")
+    punct = F.regexp_count(t, F.lit(PUNCT_RE)).cast("double")
+    words = ws_token_count(t).cast("double")
+    stops = _stop_hits(F.lower(t), STOPWORDS["en"]).cast("double")
+    punct_ratio = F.when(n > 0, punct / n).otherwise(F.lit(0.0))
+    stop_ratio = F.when(words > 0, stops / words).otherwise(F.lit(0.0))
+    score = (
+        F.lit(0.4) * F.least(F.lit(1.0), n / F.lit(500.0))
+        + F.lit(0.4) * (F.lit(1.0) - F.least(F.lit(1.0), punct_ratio * F.lit(5.0)))
+        + F.lit(0.2) * F.least(F.lit(1.0), stop_ratio * F.lit(8.0))
+    )
+    return df.select(
+        *[c for c in df.columns if c != text_col],
+        n.cast("long").alias("n_chars_m"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(score, 4).alias("quality"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """n-gram-free language ID heuristic: stopword-hit argmax with a
+    fixed tie-break order (en > de > fr > es), 'und' (undetermined) when
+    no dictionary hits at all."""
+    t = F.lower(F.col(text_col))
+    hits = {lg: _stop_hits(t, ws) for lg, ws in STOPWORDS.items()}
+    best = (
+        F.when(
+            (hits["en"] >= hits["de"]) & (hits["en"] >= hits["fr"]) & (hits["en"] >= hits["es"]),
+            F.lit("en"),
+        )
+        .when((hits["de"] >= hits["fr"]) & (hits["de"] >= hits["es"]), F.lit("de"))
+        .when(hits["fr"] >= hits["es"], F.lit("fr"))
+        .otherwise(F.lit("es"))
+    )
+    total = hits["en"] + hits["de"] + hits["fr"] + hits["es"]
+    return df.select(
+        *[c for c in df.columns if c != text_col],
+        F.when(total == 0, F.lit("und")).otherwise(best).alias("pred_lang"),
+        hits["en"].alias("hits_en"),
+        hits["de"].alias("hits_de"),
+        hits["fr"].alias("hits_fr"),
+        hits["es"].alias("hits_es"),
+    )
+
+
+@pandas_udf(T.LongType())
+def rolling_fingerprint(s: pd.Series) -> pd.Series:
+    """Polynomial rolling hash of the whole document (Karp-Rabin style),
+    Arrow-vectorized. Python loop is per-document, not per-row-per-op —
+    and runs over numpy byte arrays."""
+    MOD = (1 << 61) - 1
+    BASE = 1_000_003
+
+    def fp(v):
+        if v is None:
+            return None
+        acc = 0
+        for x in v.encode("utf-8"):
+            acc = (acc * BASE + x) % MOD
+        return acc
+
+    return s.map(fp)
+
+
+def doc_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.select(
+        *[c for c in df.columns if c != text_col],
+        rolling_fingerprint(F.col(text_col)).alias("fingerprint"),
+        F.lower(F.sha2(F.col(text_col), 256)).alias("sha256"),
+    )
