@@ -1,0 +1,135 @@
+"""Benchmark harness: CDC apply throughput + headline operator timings.
+
+Prints ONE JSON line:
+  {"metric": "cdc_apply_e2e", "value": <sec>, "unit": "sec",
+   "sf": 0.1, "queries": {...per-query sec...},
+   "events": N, "events_per_sec": X, ...}
+
+Scale knobs come from the sf dir ($SPARK_GRAFT_SF_DIR) so the same
+harness runs at sf0.01 while iterating and sf0.1 per-round. The CDC
+input (source table + changelog parquet) is generated deterministically
+(seed 42) and cached under /tmp/cdc_bench_cache keyed by scale.
+
+Scaling-efficiency evidence (N vs 4N cores) lives in
+scripts/bench_scaling.py → BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# events ≈ slots * 1.14 (d/pk expansion) * 1.02 (dups)
+SCALES = {
+    # sf: (n_keys, n_repos, n_slots, num_buckets, offsets_per_epoch)
+    0.001: (2_000, 40, 6_000, 8, 8_000),
+    0.01: (20_000, 120, 60_000, 16, 80_000),
+    0.1: (200_000, 400, 600_000, 32, 600_000),
+    1.0: (2_000_000, 1200, 6_000_000, 64, 6_000_000),
+}
+
+BENCH_QUERIES = [
+    "d1_offset_filter",
+    "d2_lww_dedup",
+    "d3_merge_effect",
+    "t11_envelope_assembly",
+    "exact_dedup",
+    "ngram_jaccard_dups",
+    "minhash_lsh_dups",
+    "knn_cosine",
+    "quality_score",
+]
+
+
+def sf_of(sf_dir: str) -> float:
+    name = os.path.basename(sf_dir.rstrip("/"))
+    return float(name.replace("sf", "")) if name.startswith("sf") else 0.1
+
+
+def prepare_inputs(spark, sf: float, cache_root: str = "/tmp/cdc_bench_cache"):
+    from debezium_incubator_spark.sources.generator import gen_changelog, gen_source_table
+
+    n_keys, n_repos, n_slots, num_buckets, ope = SCALES[min(SCALES, key=lambda k: abs(k - sf))]
+    tag = f"k{n_keys}_s{n_slots}"
+    src_p = f"{cache_root}/{tag}/source"
+    log_p = f"{cache_root}/{tag}/changelog"
+    if not os.path.exists(f"{log_p}/_SUCCESS"):
+        gen_source_table(spark, n_keys=n_keys, n_repos=n_repos).write.mode(
+            "overwrite"
+        ).parquet(src_p)
+        gen_changelog(spark, n_keys=n_keys, n_repos=n_repos, n_slots=n_slots).write.mode(
+            "overwrite"
+        ).parquet(log_p)
+    return src_p, log_p, num_buckets, ope
+
+
+def run_cdc_pipeline(spark, src_p, log_p, num_buckets, offsets_per_epoch, work_dir):
+    from debezium_incubator_spark.plans.pipeline import CDCEngine
+    from debezium_incubator_spark.sources.changelog import ParquetChangelog
+
+    shutil.rmtree(work_dir, ignore_errors=True)
+    eng = CDCEngine(spark, f"{work_dir}/table", f"{work_dir}/ckpt", num_buckets=num_buckets)
+    eng.create_target()
+    t0 = time.time()
+    eng.bootstrap(spark.read.parquet(src_p))
+    snap_s = time.time() - t0
+    t1 = time.time()
+    eng.run(ParquetChangelog(log_p), offsets_per_epoch=offsets_per_epoch)
+    stream_s = time.time() - t1
+    m = eng.metrics()
+    events = m["counters"].get("events_in", 0)
+    return {
+        "snapshot_sec": round(snap_s, 2),
+        "stream_sec": round(stream_s, 2),
+        "total_sec": round(snap_s + stream_s, 2),
+        "events": events,
+        "epochs": m["epoch"] + 1,
+        "events_per_sec": round(events / (snap_s + stream_s), 1),
+    }
+
+
+def main():
+    from debezium_incubator_spark.session import get_spark
+    import __spark_entry__ as entry_mod
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_of(sf_dir)
+    spark = get_spark(app_name="bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    src_p, log_p, num_buckets, ope = prepare_inputs(spark, sf)
+    cdc = run_cdc_pipeline(spark, src_p, log_p, num_buckets, ope, f"/tmp/cdc_bench_run_{sf}")
+
+    qs = entry_mod.queries()
+    q_times = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        n = qs[name](spark, sf_dir).count()
+        q_times[name] = round(time.time() - t0, 3)
+        _ = n
+
+    out = {
+        "metric": "cdc_apply_e2e",
+        "value": cdc["total_sec"],
+        "unit": "sec",
+        "sf": sf,
+        "queries": q_times,
+        "events": cdc["events"],
+        "events_per_sec": cdc["events_per_sec"],
+        "snapshot_sec": cdc["snapshot_sec"],
+        "stream_sec": cdc["stream_sec"],
+        "epochs": cdc["epochs"],
+        "cores": int(cpus),
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,52 @@
+"""Structured-Streaming wrapper: readStream + foreachBatch over the same
+exactly-once core must converge to the identical final state as the
+batch loop (streaming is just the driver loop, ≙ AbstractProcessor
+while-loop around process())."""
+
+import os
+import time
+
+from debezium_incubator_spark.plans.pipeline import CDCEngine
+from debezium_incubator_spark.sources.changelog import DataFrameChangelog
+from debezium_incubator_spark.sources.generator import gen_changelog, gen_source_table
+from debezium_incubator_spark.streaming.stream import StreamingCDC
+from tests.helpers import state_pdf
+
+
+def test_streaming_matches_batch(spark, tmp_path):
+    src = gen_source_table(spark, n_keys=80, n_repos=6)
+    log = gen_changelog(spark, n_keys=80, n_repos=6, n_slots=300)
+
+    # batch reference
+    b = tmp_path / "batch"
+    eb = CDCEngine(spark, str(b / "t"), str(b / "c"), num_buckets=4)
+    eb.create_target()
+    eb.bootstrap(src)
+    eb.run(DataFrameChangelog(log), offsets_per_epoch=600)
+    expected = state_pdf(eb)
+
+    # streaming: changelog as ordered segment files (≙ commit-log files
+    # appear in order; per-file offset ranges are monotone)
+    log_dir = str(tmp_path / "chlog")
+    pdf = log.orderBy("offset")
+    n = 2
+    bounds = [i * (1200 // n) for i in range(n + 1)]
+    from pyspark.sql import functions as F
+
+    for i in range(n):
+        part = pdf.filter(
+            (F.col("offset") >= bounds[i]) & (F.col("offset") < bounds[i + 1])
+        )
+        part.coalesce(1).write.mode("append").parquet(log_dir)
+        time.sleep(0.05)  # distinct mtimes → deterministic file order
+
+    s = tmp_path / "stream"
+    es = CDCEngine(spark, str(s / "t"), str(s / "c"), num_buckets=4)
+    es.create_target()
+    es.bootstrap(src)
+    scdc = StreamingCDC(es, log_dir, str(s / "sck"), max_files_per_trigger=1)
+    scdc.run_until_caught_up(spark, timeout_s=240)
+
+    got = state_pdf(es)
+    assert got.equals(expected)
+    assert es.metrics()["epoch"] >= 2  # processed as multiple micro-batches
