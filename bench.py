@@ -27,10 +27,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # events ≈ slots * 1.14 (d/pk expansion) * 1.02 (dups)
 SCALES = {
     # sf: (n_keys, n_repos, n_slots, num_buckets, offsets_per_epoch)
-    0.001: (2_000, 40, 6_000, 8, 8_000),
-    0.01: (20_000, 120, 60_000, 16, 80_000),
-    0.1: (200_000, 400, 600_000, 32, 600_000),
-    1.0: (2_000_000, 1200, 6_000_000, 64, 6_000_000),
+    0.001: (2_000, 40, 6_000, 8, 12_000),
+    0.01: (20_000, 120, 60_000, 16, 120_000),
+    0.1: (200_000, 400, 600_000, 32, 1_200_000),
+    0.3: (200_000, 400, 2_000_000, 32, 4_000_000),
+    1.0: (2_000_000, 1200, 6_000_000, 64, 12_000_000),
 }
 
 BENCH_QUERIES = [
@@ -39,7 +40,6 @@ BENCH_QUERIES = [
     "d3_merge_effect",
     "t11_envelope_assembly",
     "exact_dedup",
-    "ngram_jaccard_dups",
     "minhash_lsh_dups",
     "knn_cosine",
     "quality_score",

@@ -1,0 +1,202 @@
+"""Type system: reference source types → Spark types + value converters.
+
+Mirrors the two reference ladders:
+* Cassandra driver types → Avro (CassandraTypeDeserializer.java:58-111,
+  CassandraTypeToAvroSchemaMapper.java:31-47, per-type deserializers)
+* Oracle JDBC/oracle.sql types → Connect schemas
+  (OracleValueConverters.java:52-139; NUMBER(p,s) width inference
+  :82-111,141-168; temporal conversions :347-441)
+
+Where the reference is lossy we keep a parity mode and a better default:
+Cassandra decimal→double is lossy (CassandraTypeDeserializer.java:64);
+we default to DecimalType and offer ``decimal_parity_mode`` for
+bit-exact reference behavior.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------- mapping
+
+# Cassandra type name → Spark type (CassandraTypeDeserializer.java:58-111)
+CASSANDRA_TYPE_MAP: dict[str, T.DataType] = {
+    "ascii": T.StringType(),
+    "text": T.StringType(),
+    "varchar": T.StringType(),
+    "boolean": T.BooleanType(),
+    "blob": T.BinaryType(),
+    "tinyint": T.ByteType(),
+    "smallint": T.ShortType(),
+    "int": T.IntegerType(),
+    "bigint": T.LongType(),
+    "counter": T.LongType(),
+    "time": T.LongType(),  # nanos-of-day as long
+    "float": T.FloatType(),
+    "double": T.DoubleType(),
+    "decimal": T.DecimalType(38, 18),  # reference: lossy double (:64)
+    "date": T.DateType(),
+    "timestamp": T.TimestampType(),  # epoch millis in reference
+    "uuid": T.StringType(),
+    "timeuuid": T.StringType(),
+    "inet": T.StringType(),
+    "duration": T.StructType(  # DurationTypeDeserializer.java:17-39
+        [
+            T.StructField("months", T.IntegerType()),
+            T.StructField("days", T.IntegerType()),
+            T.StructField("nanos", T.LongType()),
+        ]
+    ),
+}
+
+
+def cassandra_to_spark(
+    type_name: str, decimal_parity_mode: bool = False
+) -> T.DataType:
+    base = type_name.strip().lower()
+    if base.startswith("list<") or base.startswith("set<"):
+        inner = base[base.index("<") + 1 : -1]
+        return T.ArrayType(cassandra_to_spark(inner, decimal_parity_mode))
+    if base.startswith("map<"):
+        k, v = base[4:-1].split(",", 1)
+        # map keys coerced to string (MapTypeDeserializer.java:20-50)
+        return T.MapType(T.StringType(), cassandra_to_spark(v, decimal_parity_mode))
+    if base.startswith("tuple<"):
+        parts = _split_args(base[6:-1])
+        return T.StructType(
+            [
+                T.StructField(f"field{i+1}", cassandra_to_spark(p, decimal_parity_mode))
+                for i, p in enumerate(parts)
+            ]
+        )
+    if base == "decimal" and decimal_parity_mode:
+        return T.DoubleType()
+    if base not in CASSANDRA_TYPE_MAP:
+        raise ValueError(f"unsupported cassandra type: {type_name}")
+    return CASSANDRA_TYPE_MAP[base]
+
+
+def _split_args(s: str) -> list[str]:
+    out, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur).strip())
+    return out
+
+
+def oracle_number_to_spark(precision: int | None, scale: int | None) -> T.DataType:
+    """NUMBER(p,s) width inference (OracleValueConverters.java:82-111):
+    scale 0 → narrowest int by width p; s>0 → Decimal(p,s);
+    unknown/variable scale → 'variable scale decimal' ≙ Decimal(38,18)."""
+    if precision is None:
+        return T.DecimalType(38, 18)
+    if scale is not None and scale <= 0:
+        width = precision - (scale or 0)
+        if width < 3:
+            return T.ByteType()
+        if width < 5:
+            return T.ShortType()
+        if width < 10:
+            return T.IntegerType()
+        if width < 19:
+            return T.LongType()
+        return T.DecimalType(min(precision, 38), 0)
+    if scale is not None:
+        return T.DecimalType(min(precision, 38), min(scale, 37))
+    return T.DecimalType(38, 18)
+
+
+ORACLE_TYPE_MAP: dict[str, T.DataType] = {
+    # OracleValueConverters.java:52-139 + OracleDdlParser.java:80-118
+    "char": T.StringType(),
+    "varchar2": T.StringType(),
+    "nchar": T.StringType(),
+    "nvarchar2": T.StringType(),
+    "clob": T.StringType(),
+    "blob": T.BinaryType(),
+    "binary_float": T.FloatType(),
+    "binary_double": T.DoubleType(),
+    "float": T.DoubleType(),
+    "date": T.TimestampType(),  # Oracle DATE has time-of-day
+    "timestamp": T.TimestampType(),  # µs precision (epoch micros)
+    "timestamp with time zone": T.StringType(),  # ZonedTimestamp ISO string
+    "timestamp with local time zone": T.StringType(),
+    "interval year to month": T.LongType(),  # micro-duration
+    "interval day to second": T.LongType(),
+}
+
+
+def oracle_to_spark(type_name: str, precision=None, scale=None) -> T.DataType:
+    base = type_name.strip().lower()
+    if base.startswith("number"):
+        return oracle_number_to_spark(precision, scale)
+    if base.startswith("timestamp") and "time zone" in base:
+        return ORACLE_TYPE_MAP["timestamp with time zone"]
+    if base.startswith("timestamp"):
+        return T.TimestampType()
+    if base not in ORACLE_TYPE_MAP:
+        raise ValueError(f"unsupported oracle type: {type_name}")
+    return ORACLE_TYPE_MAP[base]
+
+
+# ---------------------------------------------------------------- converters
+
+def timestamp_to_epoch_micros(ts: Column) -> Column:
+    """Oracle TIMESTAMP → epoch micros (OracleValueConverters.java:373-385,
+    asserted OracleConnectorIT.java:584-586)."""
+    return F.unix_micros(ts)
+
+
+def epoch_millis_to_timestamp(ms: Column) -> Column:
+    """Cassandra timestamp ← epoch millis (TimestampTypeDeserializer)."""
+    return F.timestamp_millis(ms)
+
+
+def interval_ytm_to_micros(years: Column, months: Column) -> Column:
+    """INTERVAL YEAR TO MONTH → micro-duration using the reference's
+    fixed-length month convention (NumberConversions.DOUBLE semantics,
+    OracleValueConverters.java:392-410): year=12 months, month=30 days."""
+    days = ((years * 12 + months) * F.lit(30)).cast("long")
+    return days * F.lit(24 * 3600 * 1_000_000).cast("long")
+
+
+def interval_dts_to_micros(
+    days: Column, hours: Column, minutes: Column, seconds: Column, micros: Column
+) -> Column:
+    """INTERVAL DAY TO SECOND → micros (OracleValueConverters.java:412-441)."""
+    total_s = (((days * 24 + hours) * 60 + minutes) * 60 + seconds).cast("long")
+    return total_s * F.lit(1_000_000).cast("long") + micros
+
+
+def uuid_canonical(uuid_bytes: Column) -> Column:
+    """fixed(16) UUID bytes → canonical hex string (UuidUtil semantics)."""
+    h = F.lower(F.hex(uuid_bytes))
+    return F.concat_ws(
+        "-",
+        F.substring(h, 1, 8),
+        F.substring(h, 9, 4),
+        F.substring(h, 13, 4),
+        F.substring(h, 17, 4),
+        F.substring(h, 21, 12),
+    )
+
+
+def duration_struct(months: Column, days: Column, nanos: Column) -> Column:
+    """Cassandra duration → record{months,days,nanos}
+    (CassandraTypeToAvroSchemaMapper.java:37-41)."""
+    return F.struct(
+        months.cast("int").alias("months"),
+        days.cast("int").alias("days"),
+        nanos.cast("long").alias("nanos"),
+    )

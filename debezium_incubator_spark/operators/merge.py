@@ -41,6 +41,7 @@ def merge_upsert(
     summary: dict | None = None,
     after_set_col: str | None = None,
     broadcast_keys_max: int = 4_000_000,
+    assume_unique_keys: bool = False,
 ) -> tuple[int, dict]:
     """Apply one change batch; returns (new_table_version, batch_stats).
 
@@ -76,23 +77,33 @@ def merge_upsert(
         n_tomb = sum(int(r["n_tomb"]) for r in stats_rows)
 
         extra = [c for c in (op_col, BUCKET_COL, after_set_col) if c]
-        latest = _lww(b, key_cols, order_cols, payload_cols + extra)
+        if assume_unique_keys:
+            # snapshot bootstrap fast path: rows are unique per key by
+            # construction (a consistent table read) — skip the LWW
+            # shuffle of full payloads
+            latest = b.select(*key_cols, *payload_cols, *extra)
+        else:
+            latest = _lww(b, key_cols, order_cols, payload_cols + extra)
 
-        keys = latest.select(*key_cols)
-        if events_in <= broadcast_keys_max:
-            keys = F.broadcast(keys)
-
-        current = table.with_bucket(table.read(spark, buckets=changed), m)
-        survivors = current.join(keys, key_cols, "left_anti")
-
+        target_empty = not m["buckets"]
         upserts = latest.filter(~F.col(op_col).isin(*delete_ops))
-        if after_set_col:
-            upserts = _coalesce_partial(
-                upserts, current, key_cols, payload_cols, after_set_col, op_col
-            )
-        upserts = upserts.select(*key_cols, *payload_cols, BUCKET_COL)
+        if target_empty:
+            # initial load: nothing to anti-join against
+            out = upserts.select(*key_cols, *payload_cols, BUCKET_COL)
+        else:
+            keys = latest.select(*key_cols)
+            if events_in <= broadcast_keys_max:
+                keys = F.broadcast(keys)
 
-        out = survivors.select(*key_cols, *payload_cols, BUCKET_COL).unionByName(upserts)
+            current = table.with_bucket(table.read(spark, buckets=changed), m)
+            survivors = current.join(keys, key_cols, "left_anti")
+
+            if after_set_col:
+                upserts = _coalesce_partial(
+                    upserts, current, key_cols, payload_cols, after_set_col, op_col
+                )
+            upserts = upserts.select(*key_cols, *payload_cols, BUCKET_COL)
+            out = survivors.select(*key_cols, *payload_cols, BUCKET_COL).unionByName(upserts)
 
         counters = {
             "events_in": events_in,

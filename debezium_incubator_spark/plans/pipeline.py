@@ -181,7 +181,10 @@ class CDCEngine:
             return recovered
         payload = self._payload_names()
         env = snapshot_envelopes(source, payload_fields=payload)
-        return self.apply_epoch(env, phase="stream", snapshot_version=snapshot_version)
+        # a consistent snapshot read has unique keys → skip the LWW shuffle
+        return self.apply_epoch(
+            env, phase="stream", snapshot_version=snapshot_version, assume_unique_keys=True
+        )
 
     def apply_epoch(
         self,
@@ -189,6 +192,7 @@ class CDCEngine:
         phase: str = "stream",
         snapshot_version: int | None = None,
         stream_pos: int | None = None,
+        assume_unique_keys: bool = False,
     ) -> dict:
         """Apply one micro-batch exactly once; returns the new checkpoint."""
         ckpt = self.store.latest()
@@ -222,6 +226,7 @@ class CDCEngine:
             key_cols=self.key_cols,
             order_cols=["offset", "op"],
             summary=summary,
+            assume_unique_keys=assume_unique_keys,
         )
         if not stats["max_offsets"] and stats["counters"].get("events_in", 0) == 0:
             # K5 heartbeat: empty batch still advances the epoch/offsets
