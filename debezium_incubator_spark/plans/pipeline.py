@@ -260,6 +260,33 @@ class CDCEngine:
         return applied
 
     # ------------------------------------------------------------- DDL (S7)
+    def apply_ddl_events(self, ddl_rows: list[dict]) -> int:
+        """S7 — schema-change events from a control stream, applied in
+        order before the next data epoch (≙ DDL LCR → parse → apply,
+        LcrEventHandler.java:107-118, OracleSchemaChangeEventEmitter
+        :42-80: CREATE/ADD fully applied; unsupported actions warned and
+        skipped, matching the reference's ALTER/DROP warning behavior).
+
+        Row shape: {"action": "add_column"|"rename_column"|"drop_column",
+                    "name": ..., "new_name": ..., "dtype": ...}
+        Returns the number of applied events."""
+        applied = 0
+        for r in ddl_rows:
+            action = r.get("action")
+            if action == "add_column":
+                self.add_column(r["name"], r.get("dtype", "string"))
+            elif action == "rename_column":
+                self.rename_column(r["name"], r["new_name"])
+            elif action == "drop_column":
+                self.table.drop_column(r["name"])
+            else:
+                import warnings
+
+                warnings.warn(f"unsupported DDL action skipped: {action}")
+                continue
+            applied += 1
+        return applied
+
     def add_column(self, name: str, dtype: str = "string") -> None:
         self.table.add_column(name, dtype)
 

@@ -1,0 +1,60 @@
+"""K4 — changelog post-processing / GC.
+
+Reference: after a commit-log file is fully processed (EOF event), it is
+moved to archive/ or error/, or deleted by the default CommitLogTransfer
+(QueueProcessor.java:85-106, CommitLogPostProcessor.java:38-55,
+BlackHoleCommitLogTransfer.java:13-24).
+
+Our changelog is parquet files whose offset ranges are recoverable from
+the parquet footer min/max. A file is GC-eligible once EVERY bucket's
+checkpointed high-water mark is at or above the file's max offset —
+then no replay from the current checkpoint can need it.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+
+def expire_changelog_files(
+    changelog_dir: str,
+    max_offsets: dict[str, int],
+    num_buckets: int,
+    mode: str = "archive",  # archive | delete
+) -> list[str]:
+    """Move/delete fully-processed changelog parquet files. Conservative:
+    requires marks for all buckets (otherwise nothing is eligible)."""
+    import pyarrow.parquet as pq
+
+    if len(max_offsets) < num_buckets:
+        return []
+    low_water = min(int(v) for v in max_offsets.values())
+    archive = os.path.join(changelog_dir, "_archive")
+    moved = []
+    for fn in sorted(os.listdir(changelog_dir)):
+        if not fn.endswith(".parquet"):
+            continue
+        path = os.path.join(changelog_dir, fn)
+        try:
+            meta = pq.ParquetFile(path).metadata
+            max_off = None
+            for rg in range(meta.num_row_groups):
+                rgm = meta.row_group(rg)
+                for ci in range(rgm.num_columns):
+                    col = rgm.column(ci)
+                    if col.path_in_schema == "offset" and col.statistics is not None:
+                        m = col.statistics.max
+                        max_off = m if max_off is None else max(max_off, m)
+            if max_off is None:
+                continue
+        except Exception:
+            continue  # unreadable file: never GC it
+        if int(max_off) <= low_water:
+            if mode == "archive":
+                os.makedirs(archive, exist_ok=True)
+                shutil.move(path, os.path.join(archive, fn))
+            else:
+                os.unlink(path)
+            moved.append(fn)
+    return moved

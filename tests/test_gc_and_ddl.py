@@ -1,0 +1,51 @@
+"""K4 changelog GC + S7 DDL control-stream tests."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from debezium_incubator_spark.plans.pipeline import CDCEngine
+from debezium_incubator_spark.sources.gc import expire_changelog_files
+from tests.helpers import mk_events
+
+IMG = lambda v: {"commit": "c" * 40, "lang": "py", "content": v}  # noqa: E731
+
+
+def test_expire_changelog_files(spark, tmp_path):
+    d = str(tmp_path / "chlog")
+    lo = mk_events(spark, [{"offset": i, "op": "u", "repo": "r", "path": f"p{i}",
+                            "after": IMG(f"v{i}\n")} for i in range(10)])
+    hi = mk_events(spark, [{"offset": 100 + i, "op": "u", "repo": "r", "path": f"p{i}",
+                            "after": IMG(f"w{i}\n")} for i in range(10)])
+    lo.coalesce(1).write.mode("append").parquet(d)
+    hi.coalesce(1).write.mode("append").parquet(d)
+
+    # incomplete marks → conservative no-op
+    assert expire_changelog_files(d, {"0": 1000}, num_buckets=4) == []
+    # all buckets processed through 50 → only the low file is archived
+    marks = {str(b): 50 for b in range(4)}
+    moved = expire_changelog_files(d, marks, num_buckets=4)
+    assert len(moved) == 1
+    assert os.path.exists(os.path.join(d, "_archive", moved[0]))
+    # remaining data still readable and is the high file
+    left = spark.read.parquet(d)
+    assert left.agg(F.min("offset")).first()[0] == 100
+
+
+def test_apply_ddl_events(spark, tmp_path):
+    eng = CDCEngine(spark, str(tmp_path / "t"), str(tmp_path / "c"), num_buckets=4)
+    eng.create_target()
+    eng.bootstrap(spark.createDataFrame(
+        [("r", "a", "c" * 40, "py", "v\n")],
+        "repo string, path string, commit string, lang string, content string"))
+    n = eng.apply_ddl_events([
+        {"action": "add_column", "name": "stars", "dtype": "string"},
+        {"action": "rename_column", "name": "lang", "new_name": "language"},
+    ])
+    assert n == 2
+    cols = eng.final_state().columns
+    assert "stars" in cols and "language" in cols and "lang" not in cols
+    # unsupported action warns + skips (≙ OracleSchemaChangeEventEmitter.java:65-80)
+    with pytest.warns(UserWarning):
+        assert eng.apply_ddl_events([{"action": "truncate_table"}]) == 0
