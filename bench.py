@@ -31,6 +31,7 @@ SCALES = {
     0.01: (20_000, 120, 60_000, 16, 120_000),
     0.1: (200_000, 400, 600_000, 32, 1_200_000),
     0.3: (200_000, 400, 2_000_000, 32, 4_000_000),
+    0.6: (400_000, 600, 4_000_000, 32, 8_000_000),
     1.0: (2_000_000, 1200, 6_000_000, 64, 12_000_000),
 }
 
@@ -100,11 +101,23 @@ def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = sf_of(sf_dir)
-    spark = get_spark(app_name="bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus))
+    # scratch on tmpfs: a real cluster's shuffle/local disks scale with
+    # executors; the VM's single virtual disk would serialize everything
+    local_dir = "/dev/shm/cdc_bench_local" if os.path.isdir("/dev/shm") else None
+    extra = {"spark.local.dir": local_dir} if local_dir else {}
+    spark = get_spark(
+        app_name="bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+        extra_conf=extra,
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     src_p, log_p, num_buckets, ope = prepare_inputs(spark, sf)
-    cdc = run_cdc_pipeline(spark, src_p, log_p, num_buckets, ope, f"/tmp/cdc_bench_run_{sf}")
+    work_root = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    cdc = run_cdc_pipeline(
+        spark, src_p, log_p, num_buckets, ope, f"{work_root}/cdc_bench_run_{sf}"
+    )
 
     qs = entry_mod.queries()
     q_times = {}

@@ -24,7 +24,6 @@ with a broadcast SEMI join and coalesced field-wise.
 from __future__ import annotations
 
 from pyspark.sql import functions as F
-from pyspark import StorageLevel
 
 from debezium_incubator_spark.lake.table import BUCKET_COL, LakeTable
 
@@ -42,6 +41,8 @@ def merge_upsert(
     after_set_col: str | None = None,
     broadcast_keys_max: int = 4_000_000,
     assume_unique_keys: bool = False,
+    lww_strategy: str = "agg",
+    salt_buckets: int = 16,
 ) -> tuple[int, dict]:
     """Apply one change batch; returns (new_table_version, batch_stats).
 
@@ -54,70 +55,90 @@ def merge_upsert(
     target_cols = [f["name"] for f in table.current_fields(m)]
     payload_cols = [c for c in target_cols if c not in key_cols]
 
-    b = table.with_bucket(batch, m).persist(StorageLevel.MEMORY_AND_DISK)
-    try:
-        order0 = order_cols[0]
-        stats_rows = (
-            b.groupBy(BUCKET_COL)
-            .agg(
-                F.max(order0).alias("max_off"),
-                F.count(F.lit(1)).alias("n"),
-                F.sum(F.col(op_col).isin(*delete_ops).cast("long")).alias("n_del"),
-                F.sum((F.col(op_col) == "t").cast("long")).alias("n_tomb"),
-            )
-            .collect()
+    # no persist: the stats pass prunes to (bucket, offset, op) — a
+    # skinny columnar scan — while the write pass computes the full
+    # pipeline exactly once; caching the full batch would force the
+    # normalization/fingerprint work into the stats pass too
+    b = table.with_bucket(batch, m)
+    order0 = order_cols[0]
+    stats_rows = (
+        b.groupBy(BUCKET_COL)
+        .agg(
+            F.max(order0).alias("max_off"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col(op_col).isin(*delete_ops).cast("long")).alias("n_del"),
+            F.sum((F.col(op_col) == "t").cast("long")).alias("n_tomb"),
         )
-        if not stats_rows:
-            return table.version(), {"max_offsets": {}, "counters": {"events_in": 0}}
+        .collect()
+    )
+    if not stats_rows:
+        return table.version(), {"max_offsets": {}, "counters": {"events_in": 0}}
 
-        changed = sorted(int(r[BUCKET_COL]) for r in stats_rows)
-        max_offsets = {str(int(r[BUCKET_COL])): int(r["max_off"]) for r in stats_rows}
-        events_in = sum(int(r["n"]) for r in stats_rows)
-        n_del = sum(int(r["n_del"]) for r in stats_rows)
-        n_tomb = sum(int(r["n_tomb"]) for r in stats_rows)
+    changed = sorted(int(r[BUCKET_COL]) for r in stats_rows)
+    max_offsets = {str(int(r[BUCKET_COL])): int(r["max_off"]) for r in stats_rows}
+    events_in = sum(int(r["n"]) for r in stats_rows)
+    n_del = sum(int(r["n_del"]) for r in stats_rows)
+    n_tomb = sum(int(r["n_tomb"]) for r in stats_rows)
 
-        extra = [c for c in (op_col, BUCKET_COL, after_set_col) if c]
-        if assume_unique_keys:
-            # snapshot bootstrap fast path: rows are unique per key by
-            # construction (a consistent table read) — skip the LWW
-            # shuffle of full payloads
-            latest = b.select(*key_cols, *payload_cols, *extra)
-        else:
-            latest = _lww(b, key_cols, order_cols, payload_cols + extra)
+    extra = [c for c in (op_col, BUCKET_COL, after_set_col) if c]
+    if assume_unique_keys:
+        # snapshot bootstrap fast path: rows are unique per key by
+        # construction (a consistent table read) — skip the LWW
+        # shuffle of full payloads
+        latest = b.select(*key_cols, *payload_cols, *extra)
+    elif lww_strategy == "agg":
+        latest = _lww(b, key_cols, order_cols, payload_cols + extra)
+    else:
+        from debezium_incubator_spark.operators.dedup import lww_latest_window
 
-        target_empty = not m["buckets"]
-        upserts = latest.filter(~F.col(op_col).isin(*delete_ops))
-        if target_empty:
-            # initial load: nothing to anti-join against
-            out = upserts.select(*key_cols, *payload_cols, BUCKET_COL)
-        else:
-            keys = latest.select(*key_cols)
-            if events_in <= broadcast_keys_max:
-                keys = F.broadcast(keys)
+        salt = salt_buckets if lww_strategy == "window_salted" else None
+        latest = lww_latest_window(b, key_cols, order_cols, salt_buckets=salt).select(
+            *key_cols, *payload_cols, *extra
+        )
 
-            current = table.with_bucket(table.read(spark, buckets=changed), m)
-            survivors = current.join(keys, key_cols, "left_anti")
+    target_empty = not m["buckets"]
+    if not (assume_unique_keys and target_empty):
+        # `latest` feeds both the broadcast key set and the upsert write —
+        # persist the slim deduped form so the unwrap+LWW pipeline runs
+        # exactly once (the stats pass above stays an unpersisted skinny
+        # column-pruned scan)
+        from pyspark import StorageLevel
 
-            if after_set_col:
-                upserts = _coalesce_partial(
-                    upserts, current, key_cols, payload_cols, after_set_col, op_col
-                )
-            upserts = upserts.select(*key_cols, *payload_cols, BUCKET_COL)
-            out = survivors.select(*key_cols, *payload_cols, BUCKET_COL).unionByName(upserts)
+        latest = latest.persist(StorageLevel.MEMORY_AND_DISK)
+    upserts = latest.filter(~F.col(op_col).isin(*delete_ops))
+    if target_empty:
+        # initial load: nothing to anti-join against
+        out = upserts.select(*key_cols, *payload_cols, BUCKET_COL)
+    else:
+        keys = latest.select(*key_cols)
+        if events_in <= broadcast_keys_max:
+            keys = F.broadcast(keys)
 
-        counters = {
-            "events_in": events_in,
-            "deletes": n_del,
-            "tombstones": n_tomb,
-            "buckets_touched": len(changed),
-        }
-        full_summary = dict(summary or {})
-        full_summary["max_offsets"] = max_offsets
-        full_summary["counters"] = counters
+        current = table.with_bucket(table.read(spark, buckets=changed), m)
+        survivors = current.join(keys, key_cols, "left_anti")
+
+        if after_set_col:
+            upserts = _coalesce_partial(
+                upserts, current, key_cols, payload_cols, after_set_col, op_col
+            )
+        upserts = upserts.select(*key_cols, *payload_cols, BUCKET_COL)
+        out = survivors.select(*key_cols, *payload_cols, BUCKET_COL).unionByName(upserts)
+
+    counters = {
+        "events_in": events_in,
+        "deletes": n_del,
+        "tombstones": n_tomb,
+        "buckets_touched": len(changed),
+    }
+    full_summary = dict(summary or {})
+    full_summary["max_offsets"] = max_offsets
+    full_summary["counters"] = counters
+    try:
         version = table.commit(out, replace_buckets=changed, summary=full_summary)
-        return version, {"max_offsets": max_offsets, "counters": counters}
     finally:
-        b.unpersist()
+        if latest.is_cached:
+            latest.unpersist()
+    return version, {"max_offsets": max_offsets, "counters": counters}
 
 
 def _lww(df, key_cols, order_cols, payload_cols):

@@ -56,6 +56,8 @@ class CDCEngine:
         normalize: bool = True,
         content_field: str = "content",
         exclude_system: bool = True,
+        lww_strategy: str = "agg",  # agg | window | window_salted
+        salt_buckets: int = 16,
     ):
         self.spark = spark
         self.table_path = table_path
@@ -73,6 +75,12 @@ class CDCEngine:
         self.normalize = normalize
         self.content_field = content_field
         self.exclude_system = exclude_system
+        # D2 strategy: 'agg' (max_by hash-agg, skew-proof via partial
+        # aggregation — default) or the north rule's literal
+        # 'window'/'window_salted' row_number forms (salting spreads a
+        # hot key over salt_buckets reducers before the final window)
+        self.lww_strategy = lww_strategy
+        self.salt_buckets = salt_buckets
         self._table: LakeTable | None = None
 
     # ------------------------------------------------------------- target table
@@ -227,6 +235,8 @@ class CDCEngine:
             order_cols=["offset", "op"],
             summary=summary,
             assume_unique_keys=assume_unique_keys,
+            lww_strategy=self.lww_strategy,
+            salt_buckets=self.salt_buckets,
         )
         if not stats["max_offsets"] and stats["counters"].get("events_in", 0) == 0:
             # K5 heartbeat: empty batch still advances the epoch/offsets

@@ -80,3 +80,33 @@ def test_merge_partial_images_after_set(spark, tmp_table):
     )
     got = {r["path"]: (r["content"], r["lang"]) for r in t.read(spark).collect()}
     assert got == {"a": ("v1", "py"), "b": ("w1", "go")}
+
+
+def test_merge_lww_strategies_equivalent(spark, tmp_table):
+    rows = [("r", f"p{i}", f"v{i}", "py") for i in range(10)]
+    batches = []
+    for s in ("agg", "window", "window_salted"):
+        import uuid
+
+        path = f"{tmp_table}_{s}"
+        t = _table(spark, path, rows)
+        batch = spark.createDataFrame(
+            [
+                ("r", "p0", "a", "py", "u", 10),
+                ("r", "p0", "b", "py", "u", 30),
+                ("r", "p0", "c", "py", "u", 20),
+                ("r", "p1", None, None, "d", 11),
+                ("r", "p9", "z", "go", "u", 12),
+            ],
+            BATCH_DDL,
+        )
+        merge_upsert(
+            t, batch, ["repo", "path"], ["offset", "op"],
+            summary={"epoch": 1}, lww_strategy=s,
+        )
+        batches.append(
+            sorted(tuple(r) for r in t.read(spark).collect())
+        )
+    assert batches[0] == batches[1] == batches[2]
+    got = {r[1]: r[2] for r in batches[0]}
+    assert got["p0"] == "b" and "p1" not in got and got["p9"] == "z"
