@@ -131,6 +131,20 @@ class LakeTable:
     def summary(self, version: int | None = None) -> dict:
         return self.manifest(version).get("summary", {})
 
+    def row_count(self, buckets: Iterable[int] | None = None, manifest: dict | None = None) -> int:
+        """Approximate row count from manifest file stats (0 for files
+        committed before stats were recorded — callers treat missing
+        stats as 'unknown, assume small')."""
+        m = manifest or self.manifest()
+        wanted = None if buckets is None else {int(b) for b in buckets}
+        total = 0
+        for b, files in m["buckets"].items():
+            if wanted is not None and int(b) not in wanted:
+                continue
+            for fi in files:
+                total += fi.get("rows", 0)
+        return total
+
     # ------------------------------------------------------------------ lock
     @contextmanager
     def _writer_lock(self):
@@ -259,17 +273,24 @@ class LakeTable:
             for b in replace:
                 new_buckets.pop(str(b), None)
             sv = m["current_schema"]
+            import pyarrow.parquet as pq
+
             for entry in sorted(os.listdir(out_dir)):
                 if not entry.startswith(f"{BUCKET_COL}="):
                     continue
                 b = int(entry.split("=", 1)[1])
                 if b not in replace:
                     raise ValueError(f"df contains rows for unexpected bucket {b}")
-                files = [
-                    {"path": f"{rel_dir}/{entry}/{fn}", "schema": sv}
-                    for fn in sorted(os.listdir(os.path.join(out_dir, entry)))
-                    if fn.endswith(".parquet")
-                ]
+                files = []
+                for fn in sorted(os.listdir(os.path.join(out_dir, entry))):
+                    if not fn.endswith(".parquet"):
+                        continue
+                    fp = f"{rel_dir}/{entry}/{fn}"
+                    # footer row count → manifest stats (drives the
+                    # merge's broadcast-vs-shuffle decision, ≙ Iceberg
+                    # file stats)
+                    rows = pq.ParquetFile(os.path.join(self.path, fp)).metadata.num_rows
+                    files.append({"path": fp, "schema": sv, "rows": rows})
                 if files:
                     new_buckets[str(b)] = files
 

@@ -43,6 +43,7 @@ def merge_upsert(
     assume_unique_keys: bool = False,
     lww_strategy: str = "agg",
     salt_buckets: int = 16,
+    winner_broadcast_max: int = 8_000_000,
 ) -> tuple[int, dict]:
     """Apply one change batch; returns (new_table_version, batch_stats).
 
@@ -97,22 +98,33 @@ def merge_upsert(
         )
 
     target_empty = not m["buckets"]
-    if not (assume_unique_keys and target_empty):
+    target_rows = table.row_count(buckets=changed, manifest=m)
+    # Strategy choice from table stats (≙ a cost-based MERGE plan):
+    #  * broadcast-anti — batch keys ≪ target rows (the 100 TB steady
+    #    state): the huge target side never shuffles; batch keys ride a
+    #    broadcast into an anti-join. Driver builds the broadcast, so
+    #    gate it on absolute size too.
+    #  * fused-agg — batch rivals the target (initial catch-up, bench):
+    #    ONE hash-agg shuffle computes the final per-key state over
+    #    current ∪ batch, with current rows ordered below every event.
+    #    No driver-side key table, everything parallel.
+    use_broadcast = (
+        not target_empty
+        and (events_in <= min(broadcast_keys_max, max(target_rows // 4, 100_000)))
+    ) or after_set_col is not None
+
+    if target_empty:
+        upserts = latest.filter(~F.col(op_col).isin(*delete_ops))
+        out = upserts.select(*key_cols, *payload_cols, BUCKET_COL)
+    elif use_broadcast:
         # `latest` feeds both the broadcast key set and the upsert write —
         # persist the slim deduped form so the unwrap+LWW pipeline runs
-        # exactly once (the stats pass above stays an unpersisted skinny
-        # column-pruned scan)
+        # exactly once (the stats pass above stays a skinny pruned scan)
         from pyspark import StorageLevel
 
         latest = latest.persist(StorageLevel.MEMORY_AND_DISK)
-    upserts = latest.filter(~F.col(op_col).isin(*delete_ops))
-    if target_empty:
-        # initial load: nothing to anti-join against
-        out = upserts.select(*key_cols, *payload_cols, BUCKET_COL)
-    else:
-        keys = latest.select(*key_cols)
-        if events_in <= broadcast_keys_max:
-            keys = F.broadcast(keys)
+        upserts = latest.filter(~F.col(op_col).isin(*delete_ops))
+        keys = F.broadcast(latest.select(*key_cols))
 
         current = table.with_bucket(table.read(spark, buckets=changed), m)
         survivors = current.join(keys, key_cols, "left_anti")
@@ -123,6 +135,39 @@ def merge_upsert(
             )
         upserts = upserts.select(*key_cols, *payload_cols, BUCKET_COL)
         out = survivors.select(*key_cols, *payload_cols, BUCKET_COL).unionByName(upserts)
+    else:
+        # fused: current rows become pseudo-events ordered below all real
+        # events, then one LWW over the union decides every key. When
+        # the key universe fits a broadcast, the winner-join form keeps
+        # the wide payload out of the aggregate shuffle entirely.
+        current = table.with_bucket(table.read(spark, buckets=changed), m)
+        order_types = dict(b.dtypes)
+        cur_ev = current.select(
+            *key_cols,
+            *payload_cols,
+            F.lit("r").alias(op_col),
+            BUCKET_COL,
+            *[
+                (F.lit(-(1 << 62)) if i == 0 else F.lit(None))
+                .cast(order_types[c])
+                .alias(c)
+                for i, c in enumerate(order_cols)
+                if c != op_col
+            ],
+        )
+        ev = b.select(*cur_ev.columns)
+        unioned = cur_ev.unionByName(ev)
+        lww_fn = (
+            _lww_winner_join
+            if events_in + target_rows <= winner_broadcast_max
+            else _lww
+        )
+        fused = lww_fn(
+            unioned, key_cols, order_cols, payload_cols + [op_col, BUCKET_COL]
+        )
+        out = fused.filter(~F.col(op_col).isin(*delete_ops)).select(
+            *key_cols, *payload_cols, BUCKET_COL
+        )
 
     counters = {
         "events_in": events_in,
@@ -147,6 +192,23 @@ def _lww(df, key_cols, order_cols, payload_cols):
         F.max_by(F.struct(*[F.col(c) for c in payload_cols]), order).alias("__top")
     )
     return agg.select(*key_cols, *[F.col(f"__top.{c}").alias(c) for c in payload_cols])
+
+
+def _lww_winner_join(df, key_cols, order_cols, payload_cols):
+    """LWW with minimal payload movement: aggregate only the slim
+    (key, order) pairs — tens of bytes per row — then broadcast the
+    winning order per key and join the full payload back MAP-SIDE.
+    The wide content column crosses a shuffle exactly once (the final
+    per-key dedup of winner rows) instead of riding the aggregate.
+
+    Duplicate-offset replays both match the winner join (identical
+    rows); dropDuplicates on the key collapses them.
+    """
+    order = F.struct(*[F.col(c) for c in order_cols])
+    winners = df.groupBy(*key_cols).agg(F.max(order).alias("__worder"))
+    probe = df.withColumn("__worder", order)
+    matched = probe.join(F.broadcast(winners), key_cols + ["__worder"])
+    return matched.dropDuplicates(key_cols).select(*key_cols, *payload_cols)
 
 
 def _coalesce_partial(upserts, current, key_cols, payload_cols, after_set_col, op_col):

@@ -31,7 +31,6 @@ from debezium_incubator_spark.lake.checkpoint import CheckpointStore
 from debezium_incubator_spark.lake.table import BUCKET_COL, LakeTable
 from debezium_incubator_spark.operators.dedup import filter_processed
 from debezium_incubator_spark.operators.envelope import (
-    DELETE_OPS,
     KEY_COLS,
     fingerprint,
     normalize_content,

@@ -86,8 +86,6 @@ def test_merge_lww_strategies_equivalent(spark, tmp_table):
     rows = [("r", f"p{i}", f"v{i}", "py") for i in range(10)]
     batches = []
     for s in ("agg", "window", "window_salted"):
-        import uuid
-
         path = f"{tmp_table}_{s}"
         t = _table(spark, path, rows)
         batch = spark.createDataFrame(
