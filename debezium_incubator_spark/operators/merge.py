@@ -43,7 +43,12 @@ def merge_upsert(
     assume_unique_keys: bool = False,
     lww_strategy: str = "agg",
     salt_buckets: int = 16,
-    winner_broadcast_max: int = 8_000_000,
+    winner_broadcast_max: int = 0,  # winner-join LWW off by default:
+    # measured slower than the fused max_by at this payload size — the
+    # full-row dedup still shuffles the payload and the broadcast build
+    # adds driver time, while the avoided SortAggregate wasn't the
+    # bottleneck (data movement is). Kept as a knob for workloads with
+    # very wide payloads and few keys.
 ) -> tuple[int, dict]:
     """Apply one change batch; returns (new_table_version, batch_stats).
 
@@ -195,20 +200,37 @@ def _lww(df, key_cols, order_cols, payload_cols):
 
 
 def _lww_winner_join(df, key_cols, order_cols, payload_cols):
-    """LWW with minimal payload movement: aggregate only the slim
-    (key, order) pairs — tens of bytes per row — then broadcast the
-    winning order per key and join the full payload back MAP-SIDE.
-    The wide content column crosses a shuffle exactly once (the final
-    per-key dedup of winner rows) instead of riding the aggregate.
+    """LWW without SORTS and with minimal payload movement.
 
-    Duplicate-offset replays both match the winner join (identical
-    rows); dropDuplicates on the key collapses them.
+    Why: ``max_by(struct(payload), struct(order))`` has a non-mutable
+    (struct) aggregation buffer, so Catalyst plans it as SortAggregate —
+    the full payload gets SORTED twice (map side + reduce side). Here:
+
+    1. winners = groupBy(key).max(offset) — primitive long buffer →
+       a true partial+final HashAggregate over slim rows (skew-proof);
+    2. payload joins back MAP-SIDE against the broadcast winners —
+       the wide content column never rides an aggregate;
+    3. duplicate-offset replays (byte-identical rows by the total-order
+       contract: within a key, the order value uniquely determines the
+       event) collapse with a full-row dropDuplicates — a grouping-only
+       HashAggregate, again sort-free.
+
+    Requires the first order column alone to be a total order per key
+    (true for the reference's log positions; extra order columns are
+    tie-break niceties for byte-identical replays only).
     """
-    order = F.struct(*[F.col(c) for c in order_cols])
-    winners = df.groupBy(*key_cols).agg(F.max(order).alias("__worder"))
-    probe = df.withColumn("__worder", order)
-    matched = probe.join(F.broadcast(winners), key_cols + ["__worder"])
-    return matched.dropDuplicates(key_cols).select(*key_cols, *payload_cols)
+    order0 = order_cols[0]
+    winners = (
+        df.groupBy(*key_cols)
+        .agg(F.max(order0).alias("__woff"))
+        .select(
+            *[F.col(k).alias(f"__wk_{k}") for k in key_cols], F.col("__woff")
+        )
+    )
+    cond = [F.col(k) == F.col(f"__wk_{k}") for k in key_cols]
+    cond.append(F.col(order0) == F.col("__woff"))
+    matched = df.join(F.broadcast(winners), cond).select(*key_cols, *payload_cols)
+    return matched.dropDuplicates()
 
 
 def _coalesce_partial(upserts, current, key_cols, payload_cols, after_set_col, op_col):

@@ -108,3 +108,31 @@ def test_merge_lww_strategies_equivalent(spark, tmp_table):
     assert batches[0] == batches[1] == batches[2]
     got = {r[1]: r[2] for r in batches[0]}
     assert got["p0"] == "b" and "p1" not in got and got["p9"] == "z"
+
+
+def test_merge_winner_join_equivalent(spark, tmp_table):
+    """winner-join LWW (slim agg + broadcast winners) must produce the
+    same table as the fused agg, including duplicate-offset collapse."""
+    rows = [("r", f"p{i}", f"v{i}", "py") for i in range(10)]
+    results = []
+    for wb_max in (0, 10_000_000):  # fused-agg vs winner-join
+        t = _table(spark, f"{tmp_table}_wb{wb_max}", rows)
+        batch = spark.createDataFrame(
+            [
+                ("r", "p0", "a", "py", "u", 10),
+                ("r", "p0", "b", "py", "u", 30),
+                ("r", "p0", "b", "py", "u", 30),  # duplicate replay
+                ("r", "p1", None, None, "d", 11),
+                ("r", "new", "n", "go", "c", 12),
+            ],
+            BATCH_DDL,
+        )
+        merge_upsert(
+            t, batch, ["repo", "path"], ["offset", "op"],
+            summary={"epoch": 1}, broadcast_keys_max=0,  # force fused path
+            winner_broadcast_max=wb_max,
+        )
+        results.append(sorted(tuple(r) for r in t.read(spark).collect()))
+    assert results[0] == results[1]
+    got = {r[1]: r[2] for r in results[0]}
+    assert got["p0"] == "b" and "p1" not in got and got["new"] == "n"
