@@ -121,6 +121,23 @@ def q_d6_snapshot_stream_handoff(spark, sf):
 
 # --------------------------------------------------------------- S operators
 
+def q_d5_batch_slicing(spark, sf):
+    """D5 — bounded emit batches: events sliced into max.batch.size=2048
+    drain batches in offset order (BlockingEventQueue.java:44-59,
+    CassandraConnectorConfig.java:186-187)."""
+    ev = _events(spark, sf)
+    batch_id = F.floor(F.col("event_id") / F.lit(2048)).cast("long")
+    return (
+        ev.groupBy(batch_id.alias("batch_id"))
+        .agg(
+            F.count(F.lit(1)).alias("batch_size"),
+            F.min("event_id").alias("first_offset"),
+            F.max("event_id").alias("last_offset"),
+        )
+        .orderBy("batch_id")
+    )
+
+
 def q_s1_snapshot_read(spark, sf):
     """S1/S2 — snapshot scan → READ envelopes with default offset."""
     cust = spark.read.parquet(f"{sf}/customer.parquet")
@@ -328,6 +345,7 @@ QUERIES = {
     "d2_lww_dedup": q_d2_lww_dedup,
     "d3_merge_effect": q_d3_merge_effect,
     "d4_max_offset_checkpoint": q_d4_max_offset_checkpoint,
+    "d5_batch_slicing": q_d5_batch_slicing,
     "d6_snapshot_stream_handoff": q_d6_snapshot_stream_handoff,
     "s1_snapshot_read": q_s1_snapshot_read,
     "s3_segment_order": q_s3_segment_order,
@@ -386,6 +404,12 @@ ORACLES = {
         SELECT (user_id % 4)::INT AS part_bucket,
                max(event_id) AS max_offset, count(*) AS n_events
         FROM events GROUP BY 1
+    """,
+    "d5_batch_slicing": """
+        SELECT (event_id // 2048)::BIGINT AS batch_id,
+               count(*) AS batch_size,
+               min(event_id) AS first_offset, max(event_id) AS last_offset
+        FROM events GROUP BY 1 ORDER BY 1
     """,
     "d6_snapshot_stream_handoff": """
         WITH snap AS (
