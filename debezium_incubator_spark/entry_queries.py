@@ -23,6 +23,7 @@ from debezium_incubator_spark.functions.dedup_text import (
 from debezium_incubator_spark.functions.multimodal import extract_features, pack_media
 from debezium_incubator_spark.functions.similarity import (
     cosine_topk_bruteforce,
+    ivf_topk,
     lsh_ann_topk,
 )
 from debezium_incubator_spark.functions.text import lang_id, quality_score, token_counts
@@ -314,6 +315,15 @@ def q_ann_lsh_topk(spark, sf):
     )
 
 
+def q_ann_ivf_topk(spark, sf):
+    emb = _emb(spark, sf).withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, n_centroids=16, n_probe=4
+    )
+
+
 def q_multimodal_features(spark, sf):
     packed = pack_media(_docs(spark, sf).select("doc_id", "text"), "text", "image", "png")
     return extract_features(packed).select("doc_id", "feature_norm")
@@ -366,6 +376,7 @@ QUERIES = {
     "minhash_lsh_dups": q_minhash_lsh_dups,
     "simhash_near_dups": q_simhash_near_dups,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "multimodal_features": q_multimodal_features,
     "cdc_pipeline_replay": q_cdc_pipeline_replay,
 }

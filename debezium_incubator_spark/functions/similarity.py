@@ -91,6 +91,81 @@ def rp_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: corpus rows are assigned to their nearest
+    centroid once (the 100 TB pass: one scan, equality-partitionable by
+    centroid id); each query probes only its ``n_probe`` nearest
+    centroid lists and re-ranks exactly inside them.
+
+    Centroids are picked deterministically from the corpus itself (the
+    n_centroids rows with the smallest seeded hash — a k-means-free
+    sampling that keeps the whole pipeline seed-reproducible)."""
+    from pyspark.sql.window import Window
+
+    # deterministic centroid sample (small collect — n_centroids rows)
+    cent_rows = (
+        corpus.select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+        )
+        .withColumn("__h", F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)))
+        .orderBy("__h")
+        .limit(n_centroids)
+        .collect()
+    )
+    cents = [list(r["v"]) for r in cent_rows]
+
+    def centroid_sims(vec: Column) -> Column:
+        return F.array(
+            *[
+                F.struct(
+                    F.round(cosine_sim(vec, F.array(*[F.lit(float(x)) for x in c])), 9).alias("sim"),
+                    F.lit(i).alias("cid"),
+                )
+                for i, c in enumerate(cents)
+            ]
+        )
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("c_vec")
+    )
+    # corpus assignment: argmax centroid (array_max on (sim, cid) structs)
+    c = c.withColumn("cid", F.array_max(centroid_sims(F.col("c_vec")))["cid"])
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("q_vec")
+    )
+    probes = q.withColumn(
+        "cid",
+        F.explode(
+            F.transform(
+                F.slice(F.reverse(F.array_sort(centroid_sims(F.col("q_vec")))), 1, n_probe),
+                lambda s: s["cid"],
+            )
+        ),
+    )
+    cands = (
+        c.join(probes, "cid")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("sim", cosine_sim(F.col("q_vec"), F.col("c_vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 4).alias("sim"))
+    )
+
+
 def lsh_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,

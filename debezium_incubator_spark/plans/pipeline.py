@@ -57,6 +57,7 @@ class CDCEngine:
         exclude_system: bool = True,
         lww_strategy: str = "agg",  # agg | window | window_salted
         salt_buckets: int = 16,
+        checkpoint_interval: int = 1,
     ):
         self.spark = spark
         self.table_path = table_path
@@ -80,6 +81,13 @@ class CDCEngine:
         # hot key over salt_buckets reducers before the final window)
         self.lww_strategy = lww_strategy
         self.salt_buckets = salt_buckets
+        # K2 offset-flush policy: 1 = 'always' (the reference default,
+        # OffsetFlushPolicy.java:19-52, and Spark's natural per-epoch
+        # unit); N>1 = 'periodic' — the checkpoint file is written every
+        # N epochs and recovery replays the manifest summary chain for
+        # the in-between epochs (commits remain transactional either way,
+        # so exactly-once is unaffected; only checkpoint-file I/O drops)
+        self.checkpoint_interval = max(1, int(checkpoint_interval))
         self._table: LakeTable | None = None
 
     # ------------------------------------------------------------- target table
@@ -149,13 +157,35 @@ class CDCEngine:
         return drop_envelope_fields(ev, self.field_blacklist)
 
     # ------------------------------------------------------------- epochs
-    def _recover_if_committed(self, ckpt: dict, target_epoch: int) -> dict | None:
+    def _reconcile(self, ckpt: dict) -> dict:
+        """Rebuild checkpoint state from the committed manifest chain when
+        the table is ahead — crash between commit and checkpoint, or the
+        K2 periodic flush policy leaving epochs checkpoint-less. Walks
+        manifest parents back to the checkpointed epoch and folds the
+        summaries forward; the result is saved (recovery is rare).
+
+        Requires `expire_versions(keep_last >= checkpoint_interval + 1)`
+        so the chain is still on disk."""
         s = self.table.summary()
-        if s.get("epoch") == target_epoch:
-            new_ckpt = self._advance(ckpt, s, self.table.version())
-            self.store.save(new_ckpt)
-            return new_ckpt
-        return None
+        if s.get("epoch") is None or s["epoch"] <= ckpt["epoch"]:
+            return ckpt
+        chain: list[tuple[dict, int]] = []
+        v: int | None = self.table.version()
+        while v is not None and v >= 0:
+            m = self.table.manifest(v)
+            sm = m.get("summary", {})
+            if sm.get("epoch") is None or sm["epoch"] <= ckpt["epoch"]:
+                break
+            chain.append((sm, m["version"]))
+            v = m.get("parent")
+        new_ckpt = ckpt
+        for sm, ver in reversed(chain):
+            if sm["epoch"] == new_ckpt["epoch"]:
+                continue  # metadata-only commit sharing the parent's epoch
+            new_ckpt = self._advance(new_ckpt, sm, ver)
+        new_ckpt["table_version"] = self.table.version()
+        self.store.save(new_ckpt)
+        return new_ckpt
 
     def _advance(self, ckpt: dict, summary: dict, table_version: int) -> dict:
         return {
@@ -180,12 +210,9 @@ class CDCEngine:
         merge as epoch 0 → phase flips to 'stream'. Skipped entirely when
         a previous offset exists (OracleSnapshotChangeEventSource.java:55-69;
         SnapshotProcessorTest re-snapshot guard)."""
-        ckpt = self.store.latest()
+        ckpt = self._reconcile(self.store.latest())
         if ckpt["phase"] != "snapshot":
             return ckpt
-        recovered = self._recover_if_committed(ckpt, 0)
-        if recovered is not None:
-            return recovered
         payload = self._payload_names()
         env = snapshot_envelopes(source, payload_fields=payload)
         # a consistent snapshot read has unique keys → skip the LWW shuffle
@@ -200,13 +227,19 @@ class CDCEngine:
         snapshot_version: int | None = None,
         stream_pos: int | None = None,
         assume_unique_keys: bool = False,
+        ckpt: dict | None = None,
+        force_checkpoint: bool = False,
     ) -> dict:
-        """Apply one micro-batch exactly once; returns the new checkpoint."""
-        ckpt = self.store.latest()
+        """Apply one micro-batch exactly once; returns the new checkpoint
+        state (persisted per the K2 flush policy; pass it back via
+        ``ckpt`` when driving a loop so heartbeat positions survive
+        between persisted checkpoints)."""
+        if ckpt is None:
+            ckpt = self._reconcile(self.store.latest())
         target_epoch = ckpt["epoch"] + 1
-        recovered = self._recover_if_committed(ckpt, target_epoch)
-        if recovered is not None:
-            return recovered
+        if self.table.summary().get("epoch", -1) >= target_epoch:
+            # already committed (crash between commit and checkpoint)
+            return self._reconcile(ckpt)
 
         renames = ckpt.get("renames", [])
         flat = self._unwrap(self._prefilter(events), renames)
@@ -245,7 +278,8 @@ class CDCEngine:
             summary["max_offsets"] = stats["max_offsets"]
             summary["counters"] = stats["counters"]
         new_ckpt = self._advance(ckpt, summary, version)
-        self.store.save(new_ckpt)
+        if force_checkpoint or new_ckpt["epoch"] % self.checkpoint_interval == 0:
+            self.store.save(new_ckpt)
         return new_ckpt
 
     def run(self, changelog, offsets_per_epoch: int = 400_000, max_epochs: int | None = None):
@@ -255,17 +289,23 @@ class CDCEngine:
         top = changelog.max_offset(self.spark)
         applied = []
         n = 0
+        ckpt = self._reconcile(self.store.latest())
+        if ckpt["phase"] == "snapshot":
+            raise RuntimeError("bootstrap() must run before streaming")
         while True:
-            ckpt = self.store.latest()
-            if ckpt["phase"] == "snapshot":
-                raise RuntimeError("bootstrap() must run before streaming")
             start = int(ckpt.get("stream_pos", -1))
             if start >= top or (max_epochs is not None and n >= max_epochs):
                 break
             end = min(start + offsets_per_epoch, top)
             batch = changelog.range(self.spark, start, end)
-            applied.append(self.apply_epoch(batch, stream_pos=end))
+            last = start + offsets_per_epoch >= top
+            ckpt = self.apply_epoch(
+                batch, stream_pos=end, ckpt=ckpt, force_checkpoint=last
+            )
+            applied.append(ckpt)
             n += 1
+        if applied and self.store.latest()["epoch"] < ckpt["epoch"]:
+            self.store.save(ckpt)  # final flush (periodic policy tail)
         return applied
 
     # ------------------------------------------------------------- DDL (S7)

@@ -183,3 +183,29 @@ def test_frame_sampling_shape(spark, docs):
     frames = mm.sample_frames(packed, every_ms=1000).collect()
     assert [r["frame_idx"] for r in frames] == [0, 1, 2]
     assert len({bytes(r["frame"]) for r in frames}) == 3
+
+
+def test_ivf_topk_finds_cluster_neighbors(spark):
+    import random
+
+    rnd = random.Random(11)
+    base = [rnd.uniform(-1, 1) for _ in range(16)]
+    vecs = []
+    for i in range(60):
+        c = (
+            [x + rnd.uniform(-0.05, 0.05) for x in base]
+            if i % 2 == 0
+            else [-x + rnd.uniform(-0.05, 0.05) for x in base]
+        )
+        vecs.append((i, c))
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    got = sim.ivf_topk(
+        df, df.filter(F.col("vec_id") < 2), k=3, n_centroids=6, n_probe=3
+    ).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rows in by_q.items():
+        assert len(rows) == 3
+        assert all(r["neighbor_id"] % 2 == q % 2 for r in rows)  # same cluster
+        assert all(r["sim"] > 0.9 for r in rows)
