@@ -112,3 +112,16 @@ def lww_latest_window(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def salted_repartition(df: DataFrame, cols: list[str], salt_buckets: int) -> DataFrame:
+    """North-rule named primitive: spread hot keys over ``salt_buckets``
+    sub-partitions — ``repartition(hash(cols…, salt))`` — so a single hot
+    repo/key cannot pin one reducer. Downstream per-key operators that
+    need the full key group (windows) must then run a second phase over
+    the salted survivors (see lww_latest_window)."""
+    salted = df.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in cols], F.monotonically_increasing_id()), F.lit(salt_buckets))
+    )
+    out = salted.repartition(*[F.col(c) for c in cols], F.col("__salt"))
+    return out.drop("__salt")

@@ -65,3 +65,36 @@ def test_lww_collapses_duplicate_offsets(spark):
     out = lww_latest(df, ["key"], ["offset"], ["val"])
     assert out.count() == 1
     assert out.first()["val"] == "w8"
+
+
+def test_salted_repartition_preserves_rows(spark):
+    from debezium_incubator_spark.operators.dedup import salted_repartition
+
+    df = _events(spark)
+    out = salted_repartition(df, ["key"], 4)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_hot_key_skew_all_lww_strategies_agree(spark, tmp_path):
+    """One very hot key (80% of events) — agg, window and salted-window
+    engines must all converge to the same final table."""
+    from debezium_incubator_spark.plans.pipeline import CDCEngine
+    from debezium_incubator_spark.sources.changelog import DataFrameChangelog
+    from debezium_incubator_spark.sources.generator import gen_changelog, gen_source_table
+    from tests.helpers import state_pdf
+
+    src = gen_source_table(spark, n_keys=60, n_repos=3)
+    # key_skew very high → hottest keys dominate
+    log = gen_changelog(spark, n_keys=60, n_repos=3, n_slots=500, key_skew=4.0)
+    states = []
+    for s in ("agg", "window", "window_salted"):
+        eng = CDCEngine(
+            spark, str(tmp_path / s / "t"), str(tmp_path / s / "c"),
+            num_buckets=4, lww_strategy=s, salt_buckets=4,
+        )
+        eng.create_target()
+        eng.bootstrap(src)
+        eng.run(DataFrameChangelog(log), offsets_per_epoch=800)
+        states.append(state_pdf(eng))
+    assert states[0].equals(states[1])
+    assert states[0].equals(states[2])
