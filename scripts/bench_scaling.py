@@ -74,8 +74,14 @@ spark.stop()
 
 
 def run_at(cores: int, src_p: str, log_p: str, nb: int, ope: int) -> dict:
+    # taskset pins the WHOLE process tree (JVM + python UDF workers) to
+    # exactly `cores` CPUs — a faithful "cluster of N cores" emulation.
+    # Without it, local[1]'s JVM thread and its Python worker overlap on
+    # two physical cores and inflate the N-level baseline.
+    cpu_mask = f"0-{cores - 1}" if cores > 1 else "0"
     out = subprocess.run(
-        [sys.executable, "-c", RUNNER.replace("@REPO@", REPO), str(cores), src_p, log_p,
+        ["taskset", "-c", cpu_mask, sys.executable, "-c",
+         RUNNER.replace("@REPO@", REPO), str(cores), src_p, log_p,
          str(nb), str(ope)],
         capture_output=True, text=True, timeout=1800,
     )
@@ -117,18 +123,28 @@ def main():
     hw_eff = (calib[FOURN_CORES] / calib[N_CORES]) / (FOURN_CORES / N_CORES)
     print(json.dumps({"cpu_probe_units_per_sec": calib, "hw_efficiency": round(hw_eff, 3)}))
 
-    # alternate N / 4N and keep best-of-2 per level — the VM also has
-    # bursty background load; best-of isolates the code's scaling from
-    # ambient noise
+    # alternate N / 4N pairs — the VM has bursty background load, so the
+    # protocol reports per-pair efficiencies (adjacent-in-time runs share
+    # weather) plus the median across pairs
+    pairs = []
     runs = {N_CORES: [], FOURN_CORES: []}
-    for cores in (N_CORES, FOURN_CORES, N_CORES, FOURN_CORES):
-        r = run_at(cores, src_p, log_p, nb, ope)
-        print(json.dumps(r))
-        runs[cores].append(r)
+    for _ in range(3):
+        lo_r = run_at(N_CORES, src_p, log_p, nb, ope)
+        hi_r = run_at(FOURN_CORES, src_p, log_p, nb, ope)
+        print(json.dumps(lo_r))
+        print(json.dumps(hi_r))
+        runs[N_CORES].append(lo_r)
+        runs[FOURN_CORES].append(hi_r)
+        pairs.append(
+            (hi_r["events_per_sec"] / lo_r["events_per_sec"]) / (FOURN_CORES / N_CORES)
+        )
+    pairs.sort()
     lo = min(runs[N_CORES], key=lambda r: r["sec"])
     hi = min(runs[FOURN_CORES], key=lambda r: r["sec"])
-    eff = (hi["events_per_sec"] / lo["events_per_sec"]) / (FOURN_CORES / N_CORES)
-    result = {"sf": sf, "N": lo, "fourN": hi, "scaling_efficiency": round(eff, 3),
+    eff = pairs[len(pairs) // 2]
+    result = {"sf": sf, "N": lo, "fourN": hi,
+              "pair_efficiencies": [round(p, 3) for p in pairs],
+              "scaling_efficiency": round(eff, 3),
               "hw_efficiency_ceiling": round(hw_eff, 3)}
     print(json.dumps(result))
 
@@ -139,7 +155,9 @@ def main():
 | {N_CORES} (N) | {lo['sec']} | {lo['events']} | {lo['events_per_sec']} |
 | {FOURN_CORES} (4N) | {hi['sec']} | {hi['events']} | {hi['events_per_sec']} |
 
-**Scaling efficiency (N→4N): {eff:.3f}** (target ≥ 0.8)
+**Scaling efficiency (N→4N): median {eff:.3f} across pairs
+{result['pair_efficiencies']}** (target ≥ 0.8; each pair = adjacent
+same-weather runs; rows above are the best run per level)
 
 Job: steady-state CDC apply — stream epochs (offset-range micro-batches)
 → envelope unwrap + normalization + fingerprint → LWW dedup → bucketed
@@ -157,13 +175,30 @@ hardware ceiling below the 0.8 target for ANY workload, and per-core
 Spark throughput decays past ~4 threads as the VM's memory bandwidth
 saturates — so N and 4N are placed at {N_CORES}→{FOURN_CORES} cores,
 the region where the hardware itself scales (probe: {calib}
-work-units/sec, efficiency {hw_eff:.2f}). Per-run measurements are
-best-of-2 alternating runs to mask the VM's bursty background load.
-On a real multi-node cluster each executor brings its own memory
-bandwidth and disks, so this single-box ceiling does not apply.
+work-units/sec, efficiency {hw_eff:.2f}). Each level is pinned with
+taskset to exactly its core budget (JVM + Python UDF workers share the
+mask — otherwise local[1]'s Python worker rides a free second core and
+inflates the N baseline). Efficiency is reported per adjacent-in-time
+pair (same ambient weather) with the median across pairs. On a real
+multi-node cluster each executor brings its own memory bandwidth and
+disks, so this single-box ceiling does not apply.
 """
-    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
-        f.write(f"# BENCH — measured performance\n\n{md}")
+    # splice into BENCH.md between markers, preserving hand-written parts
+    bench_path = os.path.join(REPO, "BENCH.md")
+    marker_a, marker_b = "<!-- scaling:begin -->", "<!-- scaling:end -->"
+    block = f"{marker_a}\n{md}\n{marker_b}"
+    if os.path.exists(bench_path):
+        cur = open(bench_path).read()
+        if marker_a in cur and marker_b in cur:
+            pre = cur.split(marker_a)[0]
+            post = cur.split(marker_b)[1]
+            cur = pre + block + post
+        else:
+            cur = cur.rstrip() + "\n\n" + block + "\n"
+    else:
+        cur = f"# BENCH — measured performance\n\n{block}\n"
+    with open(bench_path, "w") as f:
+        f.write(cur)
     print("wrote BENCH.md")
 
 
