@@ -32,6 +32,7 @@ SCALES = {
     0.1: (200_000, 400, 600_000, 32, 1_200_000),
     0.3: (200_000, 400, 2_000_000, 32, 4_000_000),
     0.6: (400_000, 600, 4_000_000, 32, 8_000_000),
+    2.0: (800_000, 800, 12_000_000, 32, 48_000_000),
     1.0: (2_000_000, 1200, 6_000_000, 64, 12_000_000),
 }
 

@@ -52,7 +52,7 @@ nb = int(sys.argv[4]); ope = int(sys.argv[5])
 spark = get_spark(app_name=f"scal{cores}", master=f"local[{cores}]",
                   shuffle_partitions=cores,
                   extra_conf={"spark.local.dir": "/dev/shm/spark-scaling-local",
-                              "spark.driver.memory": f"{cores * 2}g"})
+                              "spark.driver.memory": f"{cores * 3}g"})
 spark.sparkContext.setLogLevel("ERROR")
 base = f"/dev/shm/cdc_scaling_{cores}"
 shutil.rmtree(base, ignore_errors=True)
