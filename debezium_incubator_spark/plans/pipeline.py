@@ -147,8 +147,15 @@ class CDCEngine:
         return out
 
     def _prefilter(self, events: DataFrame) -> DataFrame:
+        # corrupt-event guard: a mutation without a full primary key is
+        # undeliverable (≙ the reference skipping unsupported/unparseable
+        # mutations with a warning + error counter,
+        # CommitLogReadHandlerImpl.java:76-136)
+        ev = events
+        for k in self.key_cols:
+            ev = ev.filter(F.col(k).isNotNull())
         ev = table_filter(
-            events,
+            ev,
             include_regex=self.include_regex,
             exclude_regex=self.exclude_regex,
             table_col=self.key_cols[0],

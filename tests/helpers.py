@@ -14,7 +14,11 @@ DEFAULT_PAYLOAD = [("commit", "string"), ("lang", "string"), ("content", "string
 def mk_events(spark, rows, payload_fields=None):
     """rows: list of dicts {offset, op, repo, path, after: dict|None,
     before: dict|None, ts_ms?}. Builds full envelope rows."""
-    schema = changelog_schema(payload_fields or DEFAULT_PAYLOAD)
+    from pyspark.sql import types as T
+
+    base = changelog_schema(payload_fields or DEFAULT_PAYLOAD)
+    # all-nullable variant so tests can construct corrupt events too
+    schema = T.StructType([T.StructField(f.name, f.dataType, True) for f in base.fields])
     p_names = [f.name for f in schema["after"].dataType.fields]
 
     def tup(img):

@@ -126,3 +126,21 @@ def test_unwrap_delete_and_tombstone_null_payloads(spark):
     assert flat[0]["content"] == "v1\n"
     assert flat[1]["content"] is None and flat[1]["content_sha256"] is None
     assert flat[2]["content"] is None
+
+
+def test_unicode_content_fingerprint_parity(spark):
+    import hashlib
+
+    texts = ["héllo wörld 🎉\n", "日本語のコード // comment\n", "emoji 🧪🧬\tmixed  \n"]
+    df = spark.createDataFrame([(t,) for t in texts], "content string")
+    rows = df.select(
+        env.normalize_content(F.col("content")).alias("norm"),
+    ).collect()
+    got = df.select(
+        env.fingerprint(env.normalize_content(F.col("content"))).alias("h"),
+        env.normalize_content(F.col("content")).alias("norm"),
+    ).collect()
+    for r in got:
+        assert r["h"] == hashlib.sha256(r["norm"].encode("utf-8")).hexdigest()
+    # normalization preserves non-ascii content, strips trailing ws
+    assert rows[2]["norm"] == "emoji 🧪🧬\tmixed\n"

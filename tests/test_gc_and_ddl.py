@@ -49,3 +49,20 @@ def test_apply_ddl_events(spark, tmp_path):
     # unsupported action warns + skips (≙ OracleSchemaChangeEventEmitter.java:65-80)
     with pytest.warns(UserWarning):
         assert eng.apply_ddl_events([{"action": "truncate_table"}]) == 0
+
+
+def test_null_key_events_are_skipped(spark, tmp_path):
+    """A mutation without a full primary key is undeliverable — skipped
+    like the reference skips unparseable mutations, not crashed on."""
+    eng = CDCEngine(spark, str(tmp_path / "nt"), str(tmp_path / "nc"), num_buckets=4)
+    eng.create_target()
+    eng.bootstrap(spark.createDataFrame(
+        [], "repo string, path string, commit string, lang string, content string"))
+    ev = mk_events(spark, [
+        {"offset": 1, "op": "c", "repo": "r", "path": "a", "after": IMG("v\n")},
+        {"offset": 2, "op": "c", "repo": None, "path": "b", "after": IMG("w\n")},
+        {"offset": 3, "op": "c", "repo": "r", "path": None, "after": IMG("x\n")},
+    ])
+    eng.apply_epoch(ev, stream_pos=3)
+    got = [(r["repo"], r["path"]) for r in eng.final_state().collect()]
+    assert got == [("r", "a")]
