@@ -356,6 +356,34 @@ class LakeTable:
         _atomic_write(os.path.join(self.meta_dir, "VERSION"), str(manifest["version"]))
 
     # ------------------------------------------------------------------ maintenance
+    def compact(
+        self,
+        spark: SparkSession,
+        buckets: Iterable[int] | None = None,
+        min_files: int = 4,
+        summary: dict | None = None,
+    ) -> list[int]:
+        """Small-file compaction (≙ Iceberg rewrite_data_files): rewrite
+        any bucket holding ≥ ``min_files`` data files into fresh files —
+        a logical no-op commit. CoW epochs churn files; at 100 TB this
+        runs as a background job over cold buckets."""
+        m = self.manifest()
+        wanted = (
+            set(range(m["num_buckets"])) if buckets is None else {int(b) for b in buckets}
+        )
+        targets = [
+            int(b)
+            for b, files in m["buckets"].items()
+            if int(b) in wanted and len(files) >= min_files
+        ]
+        if not targets:
+            return []
+        df = self.with_bucket(self.read(spark, buckets=targets), m)
+        base = dict(m.get("summary", {}))
+        base.update(summary or {})
+        self.commit(df, replace_buckets=targets, summary=base)
+        return sorted(targets)
+
     def expire_versions(self, keep_last: int = 2) -> list[int]:
         """GC old versions + unreferenced data dirs (reference analog:
         commit-log archive/delete post-processing, QueueProcessor.java:85-106)."""

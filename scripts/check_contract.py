@@ -39,7 +39,7 @@ def _norm(v) -> str:
             return "NULL"
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
-        return f"{v:.6g}"
+        return f"{v:.17g}"  # full precision: catch ulp drift the driver would
     try:
         import pandas as pd
 

@@ -121,3 +121,29 @@ def test_expire_versions_gc(spark, tmp_table):
     assert t.read(spark).count() == 8  # current still readable
     with pytest.raises(FileNotFoundError):
         t.manifest(0)
+
+
+def test_compaction_merges_small_files(spark, tmp_table):
+    t = _mk(spark, tmp_table, [("r1", f"p{i}", i) for i in range(8)])
+    # create file churn: 5 single-row CoW commits into the same buckets
+    for e in range(5):
+        one = t.read(spark).filter(F.col("path") == f"p{e}").withColumn(
+            "v", F.col("v") + 100
+        )
+        t.commit(t.with_bucket(one).unionByName(
+            t.with_bucket(t.read(spark)).join(
+                t.with_bucket(one).select("repo", "path"), ["repo", "path"], "left_anti"
+            )
+        ), replace_buckets=range(4), summary={"epoch": e + 1})
+    m = t.manifest()
+    n_files_before = sum(len(fs) for fs in m["buckets"].values())
+    before = sorted(tuple(r) for r in t.read(spark).collect())
+
+    compacted = t.compact(spark, min_files=1)
+    assert compacted  # something was rewritten
+    m2 = t.manifest()
+    n_files_after = sum(len(fs) for fs in m2["buckets"].values())
+    assert n_files_after <= n_files_before
+    after = sorted(tuple(r) for r in t.read(spark).collect())
+    assert after == before  # logical no-op
+    assert m2["summary"].get("epoch") == m["summary"].get("epoch")  # lineage kept
