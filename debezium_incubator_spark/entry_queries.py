@@ -29,7 +29,11 @@ from debezium_incubator_spark.functions.similarity import (
 from debezium_incubator_spark.functions.text import lang_id, quality_score, token_counts
 from debezium_incubator_spark.functions.text import BPE_RE, PUNCT_RE, STOPWORDS
 from debezium_incubator_spark.operators.dedup import filter_processed, lww_latest
-from debezium_incubator_spark.operators.envelope import deletion_ts_micros
+from debezium_incubator_spark.operators.envelope import (
+    NO_TIMESTAMP,
+    classify_row_op,
+    deletion_ts_micros,
+)
 from debezium_incubator_spark.operators.filters import emit_tombstones, sanitize_name
 
 # offset-skip marks used by d1 (per 4-way key partition)
@@ -170,6 +174,22 @@ def q_s3_segment_order(spark, sf):
 
 
 # --------------------------------------------------------------- T operators
+
+def q_t2_row_classifier(spark, sf):
+    """T1/T2 — row-mutation classification from liveness/deletion
+    timestamps (CommitLogReadHandlerImpl.java:141-202 semantics), driven
+    by the real classifier over synthesized mutation metadata."""
+    ev = _events(spark, sf)
+    liveness = F.when(
+        F.col("event_type") == "signup", F.col("event_id")
+    ).otherwise(F.lit(NO_TIMESTAMP))
+    deletion = F.when(
+        F.col("event_type") == "error", F.unix_millis(F.col("ts").cast("timestamp"))
+    ).otherwise(F.lit(NO_TIMESTAMP))
+    has_range = F.col("event_type") == "purchase"  # ≙ unsupported range tombstone
+    op = classify_row_op(liveness, deletion, has_range)
+    return ev.select("event_id", op.alias("op"))
+
 
 def q_t5_ttl_deletion_ts(spark, sf):
     """T5 — TTL → deletion-ts micros arithmetic."""
@@ -359,6 +379,7 @@ QUERIES = {
     "d6_snapshot_stream_handoff": q_d6_snapshot_stream_handoff,
     "s1_snapshot_read": q_s1_snapshot_read,
     "s3_segment_order": q_s3_segment_order,
+    "t2_row_classifier": q_t2_row_classifier,
     "t5_ttl_deletion_ts": q_t5_ttl_deletion_ts,
     "t6_field_blacklist": q_t6_field_blacklist,
     "t7_table_whitelist": q_t7_table_whitelist,
@@ -445,6 +466,14 @@ ORACLES = {
                min(event_id) AS first_offset, max(event_id) AS last_offset,
                count(*) AS n_mutations
         FROM events GROUP BY 1 ORDER BY 1
+    """,
+    "t2_row_classifier": """
+        SELECT event_id,
+               CASE WHEN event_type = 'purchase' THEN NULL
+                    WHEN event_type = 'error' THEN 'd'
+                    WHEN event_type = 'signup' THEN 'c'
+                    ELSE 'u' END AS op
+        FROM events
     """,
     "t5_ttl_deletion_ts": """
         SELECT event_id, epoch_ms(ts) AS exec_ms, round(value)::INT AS ttl_s,
