@@ -23,6 +23,7 @@ from debezium_incubator_spark.functions.dedup_text import (
 from debezium_incubator_spark.functions.multimodal import extract_features, pack_media
 from debezium_incubator_spark.functions.similarity import (
     cosine_topk_bruteforce,
+    embedding_near_dups,
     ivf_topk,
     lsh_ann_topk,
 )
@@ -335,6 +336,11 @@ def q_ann_lsh_topk(spark, sf):
     )
 
 
+def q_embedding_near_dups(spark, sf):
+    """Embedding-cosine near-dup pairs, exact mode."""
+    return embedding_near_dups(_emb(spark, sf), threshold=0.5)
+
+
 def q_ann_ivf_topk(spark, sf):
     emb = _emb(spark, sf).withColumn(
         "embedding", F.col("embedding").cast("array<double>")
@@ -394,6 +400,7 @@ QUERIES = {
     "lang_id": q_lang_id,
     "ngram_jaccard_dups": q_ngram_jaccard_dups,
     "knn_cosine": q_knn_cosine,
+    "embedding_near_dups": q_embedding_near_dups,
     "minhash_lsh_dups": q_minhash_lsh_dups,
     "simhash_near_dups": q_simhash_near_dups,
     "ann_lsh_topk": q_ann_lsh_topk,
@@ -578,6 +585,12 @@ ORACLES = {
         JOIN sizes sa ON sa.doc_id = id_a
         JOIN sizes sb ON sb.doc_id = id_b
         WHERE inter / (sa.n_sh + sb.n_sh - inter)::DOUBLE >= 0.5
+    """,
+    "embedding_near_dups": """
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.5
     """,
     "knn_cosine": """
         WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv

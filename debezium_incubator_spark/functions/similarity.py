@@ -91,6 +91,36 @@ def rp_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def embedding_near_dups(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    use_lsh: bool = False,
+    **lsh_kwargs,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, sim ≥ t).
+
+    Exact mode pairs every vector (fine ≤ ~10^5 rows per executor-chunk);
+    ``use_lsh=True`` routes candidate generation through the sign-LSH
+    buckets for the 100 TB path (recall < 1, verified sims exact)."""
+    c = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("va"))
+    d = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("vb"))
+    if use_lsh:
+        dim = lsh_kwargs.pop("dim", 64)
+        pairs = lsh_ann_topk(
+            corpus, corpus, id_col=id_col, vec_col=vec_col,
+            k=lsh_kwargs.pop("k", 20), dim=dim, **lsh_kwargs,
+        ).filter(F.col("query_id") < F.col("neighbor_id"))
+        return (
+            pairs.filter(F.col("sim") >= threshold)
+            .select(F.col("query_id").alias("id_a"), F.col("neighbor_id").alias("id_b"), "sim")
+        )
+    joined = c.join(d, F.col("id_a") < F.col("id_b"))
+    out = joined.withColumn("sim", F.round(cosine_sim(F.col("va"), F.col("vb")), 4))
+    return out.filter(F.col("sim") >= threshold).select("id_a", "id_b", "sim")
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
