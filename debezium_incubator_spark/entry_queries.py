@@ -48,11 +48,17 @@ def _events(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _docs(spark: SparkSession, sf: str) -> DataFrame:
-    return spark.read.parquet(f"{sf}/documents.parquet")
+    # test-scale parquet is one small file → one input partition; spread
+    # it so the shingle/hash pipelines use every core (at real scale the
+    # scan splits naturally via maxPartitionBytes and this is a no-op
+    # relative to the data volume)
+    df = spark.read.parquet(f"{sf}/documents.parquet")
+    return df.repartition(spark.sparkContext.defaultParallelism)
 
 
 def _emb(spark: SparkSession, sf: str) -> DataFrame:
-    return spark.read.parquet(f"{sf}/embeddings.parquet")
+    df = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return df.repartition(spark.sparkContext.defaultParallelism)
 
 
 # --------------------------------------------------------------- D operators

@@ -4,13 +4,21 @@ Four strategies, each chosen for a different scale/accuracy point:
 
 * exact           — sha256 hash-groupBy; one shuffle keyed on the hash.
 * n-gram Jaccard  — exact set similarity via a shingle-inverted-index
-                    self-join; quadratic only within shared shingles.
+                    self-join; quadratic only within shared shingles,
+                    with a document-frequency cap so one ubiquitous
+                    shingle (license header, blank-ish line) cannot
+                    create a quadratic hot-key blowup at 100 TB.
 * MinHash + LSH   — shingle→minhash signature→banded bucket join; the
                     100 TB path: candidate generation never compares
                     documents pairwise, only bucket-collided ones.
 * SimHash         — 64-bit near-dup fingerprint; hamming-band join.
 
 Everything is native Column/aggregate work (codegen); no per-row Python.
+
+Hashing cost discipline (the at-scale hot loop): every strategy hashes
+each variable-length string (shingle/token) EXACTLY ONCE; all derived
+values (the 64 MinHash permutations, the 64 SimHash bit votes) are cheap
+fixed-width long operations on that one hash.
 """
 
 from __future__ import annotations
@@ -28,9 +36,14 @@ def _tokens(text: Column) -> Column:
     )
 
 
-def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles."""
-    toks = _tokens(text)
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from a MATERIALIZED token array.
+
+    ``toks`` must be a plain column reference (not the inline ``_tokens``
+    expression): each ``element_at`` inside the transform lambda
+    re-evaluates its argument, so an inline tokenizer would re-run the
+    regex+split over the full text ~3×per shingle — measured 6× slower
+    end-to-end. Callers project ``_tokens`` into a column first."""
     idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
     grams = F.transform(
         idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)])
@@ -39,6 +52,22 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
         F.array_distinct(grams)
     )
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles straight from text. Convenience/API
+    form — the batch operators below go through ``shingles_from_tokens``
+    over a projected token column instead (see its docstring)."""
+    return shingles_from_tokens(_tokens(text), n)
+
+
+def portable_token_hash(t: Column) -> Column:
+    """56-bit token hash computable identically in Spark AND DuckDB
+    (`('0x' || substr(md5(t), 17, 14))::BIGINT` on the DuckDB side) —
+    used by the driver-oracle variants so the full SimHash pipeline is
+    verifiable bit-for-bit across engines. The engine default stays
+    xxhash64 (cheaper); only the hash expression swaps."""
+    return F.conv(F.substring(F.md5(t), 17, 14), 16, 10).cast("long")
 
 
 # ------------------------------------------------------------------ exact
@@ -56,22 +85,74 @@ def exact_dedup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
 
 # ------------------------------------------------------------------ jaccard
 
+def _shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    # Two projections: tokens materialize first, shingles read the column
+    # (CollapseProject keeps them apart because __tk is multi-referenced).
+    # Deliberately NO `filter(size(sh) > 0)` here: Catalyst pushes such a
+    # filter below both projections, inlining the whole shingle pipeline
+    # (with its per-element re-tokenization) into a pre-shuffle Filter —
+    # measured as a 50 s single-task stage at sf0.1. Empty shingle sets
+    # are harmless downstream: explode() drops them and the verify joins
+    # never meet them.
+    toks = df.select(F.col(id_col).alias("id"), _tokens(F.col(text_col)).alias("__tk"))
+    return toks.select("id", shingles_from_tokens(F.col("__tk"), n).alias("sh"))
+
+
+def _verify_jaccard(cands: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
+    """Exact-Jaccard verification of candidate (id_a, id_b) pairs against
+    the full shingle sets. Filter on the UNROUNDED ratio (matching the
+    DuckDB oracle); round only in the final select."""
+    out = (
+        cands.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .withColumn(
+            "__j",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+        )
+        .filter(F.col("__j") >= threshold)
+    )
+    return out.select("id_a", "id_b", F.round("__j", 4).alias("jaccard"))
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.8,
+    df_cap: int | None = 1000,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via inverted index:
-    explode shingles → self-join on shingle → count co-occurrences →
-    |A∩B| / (|A|+|B|−|A∩B|). The join is on the shingle value, so only
-    documents sharing a shingle ever meet (no cross join)."""
-    sh = df.select(
-        F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("shingles")
-    ).filter(F.size("shingles") > 0)
-    sizes = sh.select("id", F.size("shingles").alias("n_sh"))
-    inv = sh.select("id", F.explode("shingles").alias("shingle"))
+    explode shingles → self-join on shingle → per-pair co-occurrence
+    count → |A∩B| / (|A|+|B|−|A∩B|). Only skinny (id, shingle) rows ever
+    shuffle; the join meets only documents sharing a shingle.
+
+    ``df_cap`` drops shingles whose document frequency exceeds the cap
+    from the index BEFORE the self-join: a shingle shared by 10^6
+    documents would otherwise produce 10^12 join rows on one key. The df
+    count is a partial-aggregated groupBy (skew-safe). With a cap active,
+    intersections over capped shingles are not counted, so a boundary
+    pair whose overlap is mostly boilerplate is (conservatively) missed —
+    never overcounted. ``df_cap=None`` is fully exact; the default 1000
+    is far above any df in the test corpora (max 25 at sf0.1), so results
+    there are exact AND the DuckDB oracle mirrors the same cap."""
+    from pyspark import StorageLevel
+
+    sh = _shingle_sets(df, id_col, text_col, n)
+    sizes = sh.select("id", F.size("sh").alias("n_sh"))
+    inv = sh.select("id", F.explode("sh").alias("shingle"))
+    if df_cap is not None:
+        keep = (
+            inv.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= df_cap)
+            .select("shingle")
+        )
+        inv = inv.join(keep, "shingle")
+    # the skinny (id, shingle) index feeds both sides of the self-join
+    # (and the df-cap count) — persist so the tokenizer pipeline runs once
+    inv = inv.persist(StorageLevel.MEMORY_AND_DISK)
     co = (
         inv.alias("a")
         .join(inv.alias("b"), "shingle")
@@ -83,15 +164,12 @@ def ngram_jaccard_pairs(
         co.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
         .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
         .withColumn(
-            "jaccard",
-            F.round(
-                F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("double"),
-                4,
-            ),
+            "__j",
+            F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("double"),
         )
-        .filter(F.col("jaccard") >= threshold)
+        .filter(F.col("__j") >= threshold)
     )
-    return out.select("id_a", "id_b", "jaccard")
+    return out.select("id_a", "id_b", F.round("__j", 4).alias("jaccard"))
 
 
 # ------------------------------------------------------------------ minhash/LSH
@@ -103,18 +181,43 @@ def minhash_signatures(
     num_perm: int = 64,
     shingle_n: int = 3,
     seed: int = 42,
+    df_cap: int | None = None,
 ) -> DataFrame:
-    """num_perm-wide MinHash signature per doc. Implemented as ONE
-    aggregate over the exploded shingle index with num_perm min()
-    columns — a single shuffle keyed on the doc id, partial-aggregated
-    map-side (each task reduces its shingles before moving data)."""
-    inv = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
-    )
+    """num_perm-wide MinHash signature per doc.
+
+    Each shingle string is hashed ONCE (xxhash64 → long); the num_perm
+    "permutations" are cheap fixed-width rehashes of that long
+    (xxhash64(h, i) — the ANSI-safe equivalent of the classic affine
+    (a_i·h + b_i) mod p construction, which Spark 4's ANSI mode would
+    reject for its deliberate int64 wraparound). One aggregate with
+    num_perm min() columns — a single shuffle keyed on the doc id,
+    partial-aggregated map-side (each task reduces its shingles before
+    moving data).
+
+    ``df_cap`` drops ubiquitous shingles (document frequency > cap) from
+    the signature input — at 100 TB a boilerplate shingle otherwise drags
+    every document's min-hashes toward the same values."""
+    sh = _shingle_sets(df, id_col, text_col, shingle_n)
+    if df_cap is None:
+        inv = sh.select(
+            "id",
+            F.explode(
+                F.transform(F.col("sh"), lambda s: F.xxhash64(s, F.lit(seed)))
+            ).alias("__h"),
+        )
+    else:
+        raw = sh.select("id", F.explode("sh").alias("shingle"))
+        keep = (
+            raw.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= df_cap)
+            .select("shingle")
+        )
+        inv = raw.join(keep, "shingle").select(
+            "id", F.xxhash64(F.col("shingle"), F.lit(seed)).alias("__h")
+        )
     mins = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(seed + i))).alias(f"h{i}")
-        for i in range(num_perm)
+        F.min(F.xxhash64(F.col("__h"), F.lit(i))).alias(f"h{i}") for i in range(num_perm)
     ]
     sig = inv.groupBy("id").agg(*mins)
     return sig.select("id", F.array(*[f"h{i}" for i in range(num_perm)]).alias("signature"))
@@ -129,15 +232,28 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     threshold: float = 0.7,
     seed: int = 42,
+    df_cap: int | None = None,
 ) -> DataFrame:
     """Banded LSH candidate generation + exact-Jaccard verification.
 
     Scale path: docs land in (band, band_hash) buckets; only bucket
     collisions produce candidate pairs, verified against real shingle
     sets. With r=num_perm/bands rows per band the collision curve is the
-    classic (1-(1-s^r)^b)."""
+    classic (1-(1-s^r)^b) — at b=16/r=4 a true pair with s=0.9 is missed
+    with probability 4e-8, which is why the driver oracle for this query
+    can be the exact-Jaccard result set (equality, not containment).
+
+    ``df_cap`` (optional) additionally drops ubiquitous shingles from the
+    signature input — at 100 TB a boilerplate shingle otherwise drags
+    every document's min-hashes toward the same values."""
+    from pyspark import StorageLevel
+
     rows_per_band = num_perm // bands
-    sig = minhash_signatures(df, id_col, text_col, num_perm, shingle_n, seed)
+    sig = minhash_signatures(df, id_col, text_col, num_perm, shingle_n, seed, df_cap)
+    # both sides of the band self-join (and nothing else) read sig —
+    # persist the slim (id, 64×long) rows so the shingle+agg pipeline
+    # runs once, not once per join side
+    sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
     band_entries = sig.select(
         "id",
         F.posexplode(
@@ -162,50 +278,65 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    # verify candidates with exact jaccard over shingle sets
-    sh = df.select(
-        F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_n).alias("sh")
+    # verify candidates with exact jaccard over full shingle sets
+    # (persisted: read twice — once per pair side)
+    sh = _shingle_sets(df, id_col, text_col, shingle_n).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
-    out = (
-        cands.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
-                4,
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-    )
-    return out.select("id_a", "id_b", "jaccard")
+    return _verify_jaccard(cands, sh, threshold)
 
 
 # ------------------------------------------------------------------ simhash
 
-def simhash64(text: Column) -> Column:
-    """64-bit SimHash from token hashes: per bit, sum ±1 weighted votes
-    over tokens; bit set when the vote is positive. Pure aggregate-free
-    Column expression (higher-order functions fold over the token
-    array), so it rides inside codegen per row."""
-    toks = _tokens(text)
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    def bit(i: int) -> Column:
-        votes = F.aggregate(
-            hashes,
-            F.lit(0).cast("long"),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(
-                F.lit(-1)
+def _simhash_from_hashes(hashes: Column, n_tokens: Column, bits: int) -> Column:
+    """Fold a MATERIALIZED array<long> of token hashes into a ``bits``-wide
+    SimHash: per bit, sum ±1 weighted votes; bit set when the vote is
+    positive (votes_i > 0 ⇔ 2·set_count_i > n_tokens). ONE pass over the
+    hash array with an array<long> set-count accumulator — the old form
+    ran 64 separate folds, rehashing every token 64 times."""
+    zeros = F.array_repeat(F.lit(0).cast("long"), bits)
+    counts = F.aggregate(
+        hashes,
+        zeros,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.shiftright(h, i).bitwiseAND(F.lit(1)).cast("long")
+                    for i in range(bits)
+                ]
             ),
-        )
-        return F.when(votes > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+            lambda a, b: a + b,
+        ),
+    )
+    # powers of two as literals; bit 63 is the wrapped negative long —
+    # summing distinct powers never overflows (it's a bitwise OR in
+    # disguise), so this stays ANSI-safe
+    p2 = F.array(
+        *[
+            F.lit((1 << i) if i < 63 else -(1 << 63)).cast("long")
+            for i in range(bits)
+        ]
+    )
+    contribs = F.zip_with(
+        counts, p2, lambda c, p: F.when(c * 2 > n_tokens, p).otherwise(F.lit(0).cast("long"))
+    )
+    return F.aggregate(contribs, F.lit(0).cast("long"), lambda acc, v: acc + v)
 
-    out = F.lit(0).cast("long")
-    for i in range(64):
-        out = out + F.shiftleft(bit(i), i)
-    return out
+
+def simhash64(text: Column, bits: int = 64, token_hash=None) -> Column:
+    """``bits``-wide SimHash straight from a text column (API form; the
+    batch operator below projects token hashes into a column first so the
+    tokenizer runs exactly once per row).
+
+    ``token_hash`` swaps the per-token hash expression (default
+    xxhash64; ``portable_token_hash`` for cross-engine oracles, with
+    ``bits=56``)."""
+    token_hash = token_hash or (lambda t: F.xxhash64(t))
+    toks = _tokens(text)
+    return _simhash_from_hashes(
+        F.transform(toks, token_hash), F.size(toks).cast("long"), bits
+    )
 
 
 def simhash_near_dups(
@@ -214,13 +345,29 @@ def simhash_near_dups(
     text_col: str = "text",
     max_hamming: int = 3,
     bands: int = 4,
+    bits: int = 64,
+    token_hash=None,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: band the 64 bits into `bands` chunks —
+    """Near-dup pairs by SimHash: band the ``bits`` into ``bands`` chunks —
     any pair within hamming ≤ bands-1 shares at least one exact chunk
     (pigeonhole), so the candidate join is an equality join on
-    (band, chunk), never a cross join. Verified with exact popcount."""
-    width = 64 // bands
-    sh = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("simhash"))
+    (band, chunk), never a cross join. Verified with exact popcount.
+
+    With ``max_hamming <= bands - 1`` the banding is COMPLETE: the output
+    is exactly every pair with simhash-hamming ≤ max_hamming (this is
+    what makes the portable-hash variant oracle-checkable as an equality
+    against an all-pairs DuckDB popcount)."""
+    width = bits // bands
+    token_hash = token_hash or (lambda t: F.xxhash64(t))
+    toks = df.select(F.col(id_col).alias("id"), _tokens(F.col(text_col)).alias("__tk"))
+    hashed = toks.select(
+        "id",
+        F.transform(F.col("__tk"), token_hash).alias("__hs"),
+        F.size(F.col("__tk")).cast("long").alias("__n"),
+    )
+    sh = hashed.select(
+        "id", _simhash_from_hashes(F.col("__hs"), F.col("__n"), bits).alias("simhash")
+    )
     chunks = sh.select(
         "id",
         "simhash",

@@ -9,6 +9,13 @@
   bucket collisions across probe permutations, exact re-rank inside.
   At 100 TB the corpus is scanned once to bucket, and each query only
   meets its bucket's rows.
+* ``ivf_topk`` — inverted-file ANN: one corpus pass assigns each row to
+  its nearest centroid; queries probe only their n_probe nearest lists.
+  Centroids ride a single broadcast row (array<struct>) — never plan
+  literals — so centroid counts in the thousands keep the plan small.
+* ``embedding_near_dups`` — near-duplicate pairs; LSH candidates by
+  default (the 100 TB shape), exact all-pairs only under an explicit
+  small-corpus flag (it doubles as the recall baseline in tests).
 """
 
 from __future__ import annotations
@@ -96,29 +103,140 @@ def embedding_near_dups(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    use_lsh: bool = False,
-    **lsh_kwargs,
+    mode: str = "lsh",
+    n_planes: int = 4,
+    n_tables: int = 8,
+    seed: int = 42,
+    dim: int = 64,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, sim ≥ t).
 
-    Exact mode pairs every vector (fine ≤ ~10^5 rows per executor-chunk);
-    ``use_lsh=True`` routes candidate generation through the sign-LSH
-    buckets for the 100 TB path (recall < 1, verified sims exact)."""
+    ``mode="lsh"`` (default — the 100 TB shape): sign-LSH bucket
+    collisions generate candidates, exact cosine verifies. Few planes +
+    many tables tune for HIGH-similarity pairs: at sim 0.95 the per-table
+    collision prob is (1-θ/π)^4 ≈ 0.66, so 8 tables miss a true pair
+    with prob (1-0.66)^8 ≈ 2e-4 (recall asserted ≥0.95 vs exact in
+    tests/test_training_ops.py). The join is equality on (table,bucket) —
+    shuffle ∝ bucket sizes, never |C|².
+
+    ``mode="exact"`` pairs every vector via a cartesian — correct at any
+    similarity but O(|C|²); only for small corpora / as the recall
+    baseline (the driver oracle runs this mode so DuckDB can replicate
+    it exactly)."""
+    if mode not in ("lsh", "exact"):
+        raise ValueError(f"mode must be 'lsh' or 'exact', got {mode!r}")
     c = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("va"))
     d = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("vb"))
-    if use_lsh:
-        dim = lsh_kwargs.pop("dim", 64)
-        pairs = lsh_ann_topk(
-            corpus, corpus, id_col=id_col, vec_col=vec_col,
-            k=lsh_kwargs.pop("k", 20), dim=dim, **lsh_kwargs,
-        ).filter(F.col("query_id") < F.col("neighbor_id"))
-        return (
-            pairs.filter(F.col("sim") >= threshold)
-            .select(F.col("query_id").alias("id_a"), F.col("neighbor_id").alias("id_b"), "sim")
+    if mode == "lsh":
+        tables = [
+            (t, [_hyperplane(dim, t * n_planes + i, seed) for i in range(n_planes)])
+            for t in range(n_tables)
+        ]
+        parts = []
+        for t, planes in tables:
+            parts.append(
+                c.select(
+                    "id_a", "va", F.lit(t).alias("table"),
+                    rp_bucket(F.col("va"), planes).alias("bucket"),
+                )
+            )
+        cb = parts[0]
+        for p in parts[1:]:
+            cb = cb.unionByName(p)
+        cands = (
+            cb.alias("x")
+            .join(cb.alias("y"), ["table", "bucket"])
+            .filter(F.col("x.id_a") < F.col("y.id_a"))
+            .select(
+                F.col("x.id_a").alias("id_a"),
+                F.col("y.id_a").alias("id_b"),
+                F.col("x.va").alias("va"),
+                F.col("y.va").alias("vb"),
+            )
+            .dropDuplicates(["id_a", "id_b"])
         )
-    joined = c.join(d, F.col("id_a") < F.col("id_b"))
-    out = joined.withColumn("sim", F.round(cosine_sim(F.col("va"), F.col("vb")), 4))
-    return out.filter(F.col("sim") >= threshold).select("id_a", "id_b", "sim")
+        out = cands.withColumn("__s", cosine_sim(F.col("va"), F.col("vb")))
+    else:
+        out = c.join(d, F.col("id_a") < F.col("id_b")).withColumn(
+            "__s", cosine_sim(F.col("va"), F.col("vb"))
+        )
+    return (
+        out.withColumn("sim", F.round(F.col("__s"), 4))
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )
+
+
+def _centroid_row(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int,
+    init: str,
+    kmeans_iters: int,
+    sample_rows: int,
+) -> DataFrame:
+    """One-row DataFrame carrying array<struct<cid,vec>> centroids.
+
+    ``init="hash_sample"``: the n_centroids corpus rows with the smallest
+    md5(id) — deterministic AND replicable in any SQL engine (the driver
+    oracle re-derives the same centroids in DuckDB).
+    ``init="kmeans"``: Lloyd iterations over a bounded sample refine the
+    hash-sampled seeds (driver-side numpy on ≤sample_rows rows; the
+    corpus-wide pass stays distributed). Better recall, not
+    SQL-replicable — covered by the recall pytest instead."""
+    spark = corpus.sparkSession
+    seeds = (
+        corpus.select(
+            F.col(id_col).cast("string").alias("__id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .withColumn("__h", F.md5(F.col("__id")))
+        .orderBy("__h")
+        .limit(n_centroids)
+        .collect()
+    )
+    cents = [list(r["v"]) for r in seeds]
+    if init == "kmeans":
+        import numpy as np
+
+        sample = np.array(
+            [
+                list(r["v"])
+                for r in corpus.select(F.col(vec_col).cast("array<double>").alias("v"))
+                .limit(sample_rows)
+                .collect()
+            ]
+        )
+        C = np.array(cents)
+        Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+        Sn = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+        for _ in range(kmeans_iters):
+            assign = (Sn @ Cn.T).argmax(axis=1)
+            for ci in range(len(cents)):
+                members = Sn[assign == ci]
+                if len(members):
+                    m = members.mean(axis=0)
+                    Cn[ci] = m / max(float(np.linalg.norm(m)), 1e-12)
+        cents = [list(map(float, row)) for row in Cn]
+    rows = [(i, cents[i]) for i in range(len(cents))]
+    cdf = spark.createDataFrame(rows, "cid int, vec array<double>")
+    return cdf.agg(
+        F.collect_list(F.struct(F.col("cid"), F.col("vec"))).alias("__cents")
+    )
+
+
+def _centroid_sims(vec: Column, cents: Column, digits: int = 9) -> Column:
+    """array<struct<sim,cid>> of rounded cosine sims to every centroid —
+    a per-row transform over the broadcast centroid array (no plan
+    literals, no shuffle)."""
+    return F.transform(
+        cents,
+        lambda c: F.struct(
+            F.round(cosine_sim(vec, c["vec"]), digits).alias("sim"),
+            c["cid"].alias("cid"),
+        ),
+    )
 
 
 def ivf_topk(
@@ -129,59 +247,51 @@ def ivf_topk(
     k: int = 5,
     n_centroids: int = 16,
     n_probe: int = 4,
-    seed: int = 42,
+    init: str = "hash_sample",
+    kmeans_iters: int = 5,
+    sample_rows: int = 10_000,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: corpus rows are assigned to their nearest
     centroid once (the 100 TB pass: one scan, equality-partitionable by
     centroid id); each query probes only its ``n_probe`` nearest
     centroid lists and re-ranks exactly inside them.
 
-    Centroids are picked deterministically from the corpus itself (the
-    n_centroids rows with the smallest seeded hash — a k-means-free
-    sampling that keeps the whole pipeline seed-reproducible)."""
+    Centroids travel as ONE broadcast row of array<struct<cid,vec>> and
+    are compared per-row with a higher-order transform — realistic
+    centroid counts (thousands) no longer inflate the plan (the old form
+    inlined dim×n_centroids literals). Assignment argmax and the query's
+    probe list tie-break identically (max sim, then max cid), matching
+    the DuckDB oracle's row_number ordering."""
     from pyspark.sql.window import Window
 
-    # deterministic centroid sample (small collect — n_centroids rows)
-    cent_rows = (
-        corpus.select(
-            F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
-        )
-        .withColumn("__h", F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)))
-        .orderBy("__h")
-        .limit(n_centroids)
-        .collect()
+    cent = F.broadcast(
+        _centroid_row(corpus, id_col, vec_col, n_centroids, init, kmeans_iters, sample_rows)
     )
-    cents = [list(r["v"]) for r in cent_rows]
-
-    def centroid_sims(vec: Column) -> Column:
-        return F.array(
-            *[
-                F.struct(
-                    F.round(cosine_sim(vec, F.array(*[F.lit(float(x)) for x in c])), 9).alias("sim"),
-                    F.lit(i).alias("cid"),
-                )
-                for i, c in enumerate(cents)
-            ]
-        )
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("c_vec")
     )
     # corpus assignment: argmax centroid (array_max on (sim, cid) structs)
-    c = c.withColumn("cid", F.array_max(centroid_sims(F.col("c_vec")))["cid"])
+    c = c.crossJoin(cent).withColumn(
+        "cid", F.array_max(_centroid_sims(F.col("c_vec"), F.col("__cents")))["cid"]
+    ).drop("__cents")
 
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("q_vec")
     )
-    probes = q.withColumn(
+    probes = q.crossJoin(cent).withColumn(
         "cid",
         F.explode(
             F.transform(
-                F.slice(F.reverse(F.array_sort(centroid_sims(F.col("q_vec")))), 1, n_probe),
+                F.slice(
+                    F.reverse(F.array_sort(_centroid_sims(F.col("q_vec"), F.col("__cents")))),
+                    1,
+                    n_probe,
+                ),
                 lambda s: s["cid"],
             )
         ),
-    )
+    ).drop("__cents")
     cands = (
         c.join(probes, "cid")
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -210,7 +320,10 @@ def lsh_ann_topk(
     """Approximate top-k: n_tables independent sign-LSH bucketings;
     candidates = same (table, bucket); exact cosine re-rank. Equality
     join on the bucket key — shuffle proportional to bucket sizes, never
-    |Q|·|C|."""
+    |Q|·|C|. Recall vs the exact baseline is asserted in
+    tests/test_training_ops.py; the driver oracle replicates the exact
+    plane constants in DuckDB SQL, so the result set is equality-checked
+    cross-engine."""
     from pyspark.sql.window import Window
 
     tables = []
