@@ -18,6 +18,7 @@ from debezium_incubator_spark.functions.dedup_text import (
     exact_dedup_groups,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    portable_token_hash,
     simhash_near_dups,
 )
 from debezium_incubator_spark.functions.multimodal import extract_features, pack_media
@@ -30,10 +31,12 @@ from debezium_incubator_spark.functions.similarity import (
 from debezium_incubator_spark.functions.text import lang_id, quality_score, token_counts
 from debezium_incubator_spark.functions.text import BPE_RE, PUNCT_RE, STOPWORDS
 from debezium_incubator_spark.operators.dedup import filter_processed, lww_latest
+from debezium_incubator_spark.functions.types import oracle_number_to_spark
 from debezium_incubator_spark.operators.envelope import (
     NO_TIMESTAMP,
     classify_row_op,
     deletion_ts_micros,
+    map_xstream_command,
 )
 from debezium_incubator_spark.operators.filters import emit_tombstones, sanitize_name
 
@@ -240,14 +243,17 @@ def q_t8_tombstone_emission(spark, sf):
 
 
 def q_t9_op_mapping(spark, sf):
-    """T9 — source command → envelope op (COMMIT-class rows dropped)."""
+    """T9 — XStream command → envelope op via the REAL operator
+    (map_xstream_command): event types map onto commands first, COMMIT
+    rows map to null and are dropped (LcrEventHandler.java:95-97)."""
     ev = _events(spark, sf)
-    op = (
-        F.when(F.col("event_type") == "signup", F.lit("c"))
-        .when(F.col("event_type") == "error", F.lit("d"))
-        .when(F.col("event_type").isin("click", "view"), F.lit("u"))
-        .otherwise(F.lit(None).cast("string"))  # 'purchase' ≙ COMMIT → dropped
+    cmd = (
+        F.when(F.col("event_type") == "signup", F.lit("INSERT"))
+        .when(F.col("event_type") == "error", F.lit("DELETE"))
+        .when(F.col("event_type").isin("click", "view"), F.lit("UPDATE"))
+        .otherwise(F.lit("COMMIT"))  # 'purchase' ≙ COMMIT → dropped
     )
+    op = map_xstream_command(cmd)
     return ev.select("event_id", op.alias("op")).filter(F.col("op").isNotNull())
 
 
@@ -263,15 +269,26 @@ def q_t11_envelope_assembly(spark, sf):
 
 
 def q_t12_numeric_width(spark, sf):
-    """T12 — NUMBER(p,s) width-class inference ladder."""
+    """T12 — NUMBER(p,s) width inference driven by the REAL ladder:
+    per-row precision p = decimal digit count of the scaled value; the
+    width class for each p comes from calling oracle_number_to_spark(p,0)
+    (OracleValueConverters.java:82-111), so the when-chain thresholds are
+    derived from the engine function, not re-typed here."""
+    import pyspark.sql.types as T
+
+    _names = {
+        T.ByteType(): "int8",
+        T.ShortType(): "int16",
+        T.IntegerType(): "int32",
+        T.LongType(): "int64",
+    }
     ev = _events(spark, sf)
     v = F.round(F.col("value") * 100, 0).cast("long")
-    width = (
-        F.when((v >= -128) & (v <= 127), F.lit("int8"))
-        .when((v >= -32768) & (v <= 32767), F.lit("int16"))
-        .when((v >= -(1 << 31)) & (v <= (1 << 31) - 1), F.lit("int32"))
-        .otherwise(F.lit("int64"))
-    )
+    p = F.length(F.abs(v).cast("string"))  # NUMBER precision of the value
+    width = F.lit("decimal")
+    for prec in range(19, 0, -1):
+        dt = oracle_number_to_spark(prec, 0)
+        width = F.when(p == prec, F.lit(_names.get(dt, "decimal"))).otherwise(width)
     return ev.select("event_id", v.alias("value_scaled"), width.alias("width_class"))
 
 
@@ -323,14 +340,28 @@ def q_knn_cosine(spark, sf):
     return cosine_topk_bruteforce(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
-# rows-only (non-SQL-expressible: cross-engine hash functions / pandas UDFs)
-
 def q_minhash_lsh_dups(spark, sf):
+    """MinHash-LSH near-dup pairs. Oracle: the EXACT-Jaccard result set
+    at the same threshold — valid as an equality because banded LSH at
+    b=16/r=4 misses a true pair of similarity s with prob (1-s^4)^16,
+    and every near-dup pair in the corpus has s ≥ 0.9 (miss ≈ 4e-8);
+    candidate recall is additionally pytest-asserted."""
     return minhash_lsh_pairs(_docs(spark, sf), threshold=0.5)
 
 
 def q_simhash_near_dups(spark, sf):
-    return simhash_near_dups(_docs(spark, sf), max_hamming=8)
+    """SimHash near-dups, portable-hash variant: 56-bit fingerprint from
+    md5-derived token hashes (computable identically in DuckDB), COMPLETE
+    banding (bands=8 > max_hamming=7 — pigeonhole guarantees every
+    qualifying pair shares a chunk), so the output is exactly the
+    all-pairs hamming ≤ 7 set and the oracle recomputes it in SQL."""
+    return simhash_near_dups(
+        _docs(spark, sf),
+        max_hamming=7,
+        bands=8,
+        bits=56,
+        token_hash=portable_token_hash,
+    )
 
 
 def q_ann_lsh_topk(spark, sf):
@@ -343,8 +374,11 @@ def q_ann_lsh_topk(spark, sf):
 
 
 def q_embedding_near_dups(spark, sf):
-    """Embedding-cosine near-dup pairs, exact mode."""
-    return embedding_near_dups(_emb(spark, sf), threshold=0.5)
+    """Embedding-cosine near-dup pairs — EXPLICIT exact mode: this query
+    is the recall baseline the DuckDB all-pairs oracle can replicate
+    verbatim; the engine default is mode='lsh' (the 100 TB shape), whose
+    recall vs this baseline is asserted in tests/test_training_ops.py."""
+    return embedding_near_dups(_emb(spark, sf), threshold=0.5, mode="exact")
 
 
 def q_ann_ivf_topk(spark, sf):
@@ -361,24 +395,37 @@ def q_multimodal_features(spark, sf):
     return extract_features(packed).select("doc_id", "feature_norm")
 
 
+# fixed path shared with the DuckDB oracle (read_parquet over the same
+# files the engine consumed); contents are a pure function of seed 42,
+# so a stale copy from a previous run is byte-identical
+CDC_REPLAY_ORACLE_DIR = "/tmp/cdc_replay_oracle"
+
+
 def q_cdc_pipeline_replay(spark, sf):
-    """Flagship rows-only: the full engine — generator → snapshot →
-    stream epochs → LWW → merge — on a deterministic mini dataset."""
-    import shutil
+    """Flagship: the full engine — generator → snapshot → stream epochs →
+    LWW → merge — on a deterministic mini dataset. The generated source
+    table + changelog are WRITTEN to parquet first and the engine
+    consumes those files; the oracle SQL reads the same files and
+    recomputes the final table state independently (LWW by offset,
+    deletes/tombstones drop the key, sha256 invariant)."""
     import tempfile
 
     from debezium_incubator_spark.plans.pipeline import CDCEngine
-    from debezium_incubator_spark.sources.changelog import DataFrameChangelog
+    from debezium_incubator_spark.sources.changelog import ParquetChangelog
     from debezium_incubator_spark.sources.generator import gen_changelog, gen_source_table
 
-    base = tempfile.mkdtemp(prefix="cdc_entry_")
-    shutil.rmtree(base, ignore_errors=True)
-    src = gen_source_table(spark, n_keys=300, n_repos=10)
-    log = gen_changelog(spark, n_keys=300, n_repos=10, n_slots=1200)
-    eng = CDCEngine(spark, f"{base}/table", f"{base}/ckpt", num_buckets=8)
+    base = CDC_REPLAY_ORACLE_DIR
+    gen_source_table(spark, n_keys=300, n_repos=10).write.mode("overwrite").parquet(
+        f"{base}/source"
+    )
+    gen_changelog(spark, n_keys=300, n_repos=10, n_slots=1200).write.mode(
+        "overwrite"
+    ).parquet(f"{base}/changelog")
+    work = tempfile.mkdtemp(prefix="cdc_entry_")
+    eng = CDCEngine(spark, f"{work}/table", f"{work}/ckpt", num_buckets=8)
     eng.create_target()
-    eng.bootstrap(src)
-    eng.run(DataFrameChangelog(log), offsets_per_epoch=2000)
+    eng.bootstrap(spark.read.parquet(f"{base}/source"))
+    eng.run(ParquetChangelog(f"{base}/changelog"), offsets_per_epoch=2000)
     return eng.final_state().select("repo", "path", "commit", "lang", "content_sha256")
 
 
@@ -519,13 +566,19 @@ ORACLES = {
                lower(sha256(props)) AS payload_sha256
         FROM events
     """,
+    # width class from NUMBER precision (decimal digit count), mirroring
+    # oracle_number_to_spark's p<3/p<5/p<10/p<19 ladder
     "t12_numeric_width": """
-        SELECT event_id, round(value * 100)::BIGINT AS value_scaled,
-               CASE WHEN round(value*100)::BIGINT BETWEEN -128 AND 127 THEN 'int8'
-                    WHEN round(value*100)::BIGINT BETWEEN -32768 AND 32767 THEN 'int16'
-                    WHEN round(value*100)::BIGINT BETWEEN -2147483648 AND 2147483647 THEN 'int32'
-                    ELSE 'int64' END AS width_class
-        FROM events
+        WITH v AS (SELECT event_id, round(value * 100)::BIGINT AS value_scaled FROM events),
+        p AS (SELECT event_id, value_scaled,
+                     length(abs(value_scaled)::VARCHAR) AS prec FROM v)
+        SELECT event_id, value_scaled,
+               CASE WHEN prec < 3 THEN 'int8'
+                    WHEN prec < 5 THEN 'int16'
+                    WHEN prec < 10 THEN 'int32'
+                    WHEN prec < 19 THEN 'int64'
+                    ELSE 'decimal' END AS width_class
+        FROM p
     """,
     "t13_route_naming": """
         SELECT DISTINCT event_type,
@@ -638,7 +691,201 @@ def _langid_sql() -> str:
 
 
 ORACLES["lang_id"] = _langid_sql()
-# rows-only checks (cross-engine hash seeds / pandas UDFs not expressible
-# in ANSI SQL): minhash_lsh_dups, simhash_near_dups, ann_lsh_topk,
-# multimodal_features, cdc_pipeline_replay
+
+# ---------------------------------------------------------------- generated
+# oracles for the previously rows-only queries
+
+# MinHash-LSH: equality against the EXACT Jaccard set (recall-1 argument
+# in q_minhash_lsh_dups' docstring) — same SQL as ngram_jaccard_dups.
+ORACLES["minhash_lsh_dups"] = ORACLES["ngram_jaccard_dups"]
+
+
+def _simhash_sql(bits: int = 56, max_hamming: int = 7) -> str:
+    """All-pairs popcount over the portable 56-bit SimHash, recomputed
+    from scratch in SQL: per-token 56-bit md5-derived hash (identical to
+    portable_token_hash), per-bit ±1 votes, bit set when 2·count > n."""
+    sums = ",\n                 ".join(
+        f"sum((hv >> {i}) & 1)::BIGINT AS c{i}" for i in range(bits)
+    )
+    fold = " + ".join(f"(CASE WHEN 2*c{i} > n THEN {1 << i} ELSE 0 END)" for i in range(bits))
+    return f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
+          FROM documents
+          WHERE length(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) > 0),
+        tok AS (SELECT doc_id, unnest(t) AS tk FROM toks),
+        h AS (SELECT doc_id, ('0x' || substr(md5(tk), 17, 14))::BIGINT AS hv FROM tok),
+        votes AS (
+          SELECT doc_id, count(*) AS n,
+                 {sums}
+          FROM h GROUP BY doc_id),
+        sim AS (SELECT doc_id, ({fold})::BIGINT AS s FROM votes),
+        sim_all AS (
+          SELECT doc_id, s FROM sim
+          UNION ALL
+          SELECT doc_id, 0::BIGINT AS s FROM documents
+          WHERE doc_id NOT IN (SELECT doc_id FROM sim))
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               bit_count(xor(a.s, b.s))::INT AS hamming
+        FROM sim_all a JOIN sim_all b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.s, b.s)) <= {max_hamming}
+    """
+
+
+ORACLES["simhash_near_dups"] = _simhash_sql()
+
+
+def _dot_sql(vec: str, consts: list[float]) -> str:
+    """Left-associated explicit dot product — same add order as the
+    Spark-side F.aggregate fold, so the sign test is bit-identical."""
+    return " + ".join(f"{vec}[{j + 1}]*{consts[j]!r}" for j in range(len(consts)))
+
+
+def _bucket_sql(vec: str, planes: list[list[float]]) -> str:
+    return " + ".join(
+        f"(CASE WHEN ({_dot_sql(vec, p)}) > 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+
+
+def _ann_lsh_sql(dim: int = 64, n_planes: int = 8, n_tables: int = 2, seed: int = 42,
+                 k: int = 5) -> str:
+    """Sign-LSH ANN replicated with the EXACT plane constants inlined
+    (deterministic sha256-derived hyperplanes, identical on both sides)."""
+    from debezium_incubator_spark.functions.similarity import _hyperplane
+
+    tables = [
+        [_hyperplane(dim, t * n_planes + i, seed) for i in range(n_planes)]
+        for t in range(n_tables)
+    ]
+    cb = "\n          UNION ALL\n          ".join(
+        f"SELECT neighbor_id, cv, {t} AS tbl, ({_bucket_sql('cv', planes)}) AS bucket FROM c"
+        for t, planes in enumerate(tables)
+    )
+    qb = "\n          UNION ALL\n          ".join(
+        f"SELECT query_id, qv, {t} AS tbl, ({_bucket_sql('qv', planes)}) AS bucket FROM q"
+        for t, planes in enumerate(tables)
+    )
+    return f"""
+        WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                   FROM embeddings WHERE vec_id < 10),
+        c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+        cb AS ({cb}),
+        qb AS ({qb}),
+        cand AS (
+          SELECT DISTINCT query_id, neighbor_id
+          FROM qb JOIN cb ON qb.tbl = cb.tbl AND qb.bucket = cb.bucket
+          WHERE neighbor_id <> query_id),
+        scored AS (
+          SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS s
+          FROM cand JOIN q USING (query_id) JOIN c USING (neighbor_id)),
+        ranked AS (
+          SELECT *, row_number() OVER (
+                     PARTITION BY query_id ORDER BY s DESC, neighbor_id ASC) AS rank
+          FROM scored)
+        SELECT query_id, neighbor_id, rank::INT AS rank, round(s, 4) AS sim
+        FROM ranked WHERE rank <= {k}
+    """
+
+
+ORACLES["ann_lsh_topk"] = _ann_lsh_sql()
+
+
+def _ann_ivf_sql(n_centroids: int = 16, n_probe: int = 4, k: int = 5) -> str:
+    """IVF replicated end to end: centroids = the n rows with the
+    smallest md5(vec_id) (same deterministic hash-sample as
+    _centroid_row), cid = row_number in that order; assignment/probes
+    tie-break (sim DESC, cid DESC), final re-rank (sim DESC, id ASC)."""
+    return f"""
+        WITH cent AS (
+          SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR)) - 1 AS cid,
+                 embedding::DOUBLE[] AS v
+          FROM embeddings ORDER BY md5(vec_id::VARCHAR) LIMIT {n_centroids}),
+        c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+        q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+              FROM embeddings WHERE vec_id < 10),
+        assign AS (
+          SELECT neighbor_id, cid,
+                 round(list_cosine_similarity(cv, cent.v), 9) AS s
+          FROM c CROSS JOIN cent),
+        corp AS (
+          SELECT neighbor_id, cid FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY neighbor_id ORDER BY s DESC, cid DESC) rn FROM assign)
+          WHERE rn = 1),
+        qassign AS (
+          SELECT query_id, cid,
+                 round(list_cosine_similarity(qv, cent.v), 9) AS s
+          FROM q CROSS JOIN cent),
+        probes AS (
+          SELECT query_id, cid FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY s DESC, cid DESC) rn FROM qassign)
+          WHERE rn <= {n_probe}),
+        cand AS (
+          SELECT DISTINCT query_id, neighbor_id
+          FROM probes JOIN corp USING (cid)
+          WHERE neighbor_id <> query_id),
+        scored AS (
+          SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS s
+          FROM cand JOIN q USING (query_id) JOIN c USING (neighbor_id)),
+        ranked AS (
+          SELECT *, row_number() OVER (
+                     PARTITION BY query_id ORDER BY s DESC, neighbor_id ASC) AS rank
+          FROM scored)
+        SELECT query_id, neighbor_id, rank::INT AS rank, round(s, 4) AS sim
+        FROM ranked WHERE rank <= {k}
+    """
+
+
+ORACLES["ann_ivf_topk"] = _ann_ivf_sql()
+
+
+def _multimodal_sql(feature_dim: int = 32) -> str:
+    """feature_norm recomputed from the hex-chained sha256 derivation in
+    _fake_features: block_i = sha256(sha256(text) || i), 8 uint32 values
+    per block, feature = v/2^32*2-1, norm = sqrt(Σ f²) — every arithmetic
+    step in the same order as the Python UDF, so doubles are bit-exact."""
+    feats = []
+    for idx in range(feature_dim):
+        block, j = divmod(idx, 8)
+        v = f"('0x' || substr(sha256(sha256(text) || '{block}'), {j * 8 + 1}, 8))::BIGINT"
+        feats.append(f"(({v} / 4294967296.0) * 2.0 - 1.0)")
+    lst = ",\n               ".join(feats)
+    return f"""
+        SELECT doc_id,
+               sqrt(list_reduce(list_transform([
+               {lst}
+               ], x -> x * x), (a, b) -> a + b)) AS feature_norm
+        FROM documents
+    """
+
+
+ORACLES["multimodal_features"] = _multimodal_sql()
+
+# Full-pipeline replay: the oracle recomputes the final table state from
+# the SAME parquet files the engine consumed (written by the query to a
+# fixed path; contents are a pure function of the generator seed):
+# snapshot rows at offset -1 ∪ changelog events, LWW per (repo, path) by
+# offset, delete/tombstone winners drop the key, sha256 invariant on the
+# (pre-normalized) content.
+ORACLES["cdc_pipeline_replay"] = f"""
+    WITH snap AS (
+      SELECT CAST(-1 AS BIGINT) AS o, 'r' AS op, repo, path,
+             "commit", lang, content
+      FROM read_parquet('{CDC_REPLAY_ORACLE_DIR}/source/*.parquet')),
+    ev AS (
+      SELECT "offset" AS o, op, repo, path,
+             after."commit" AS "commit", after.lang AS lang,
+             after.content AS content
+      FROM read_parquet('{CDC_REPLAY_ORACLE_DIR}/changelog/*.parquet')),
+    allv AS (SELECT * FROM snap UNION ALL SELECT * FROM ev),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY o DESC) rn
+      FROM allv)
+    SELECT repo, path, "commit", lang, lower(sha256(content)) AS content_sha256
+    FROM ranked WHERE rn = 1 AND op NOT IN ('d', 't')
+"""
+
 ORACLES = {k: v for k, v in ORACLES.items() if v is not None}

@@ -57,19 +57,24 @@ def decode_image(payload: bytes):  # pragma: no cover - stub by design
 def _fake_features(payload: bytes) -> list[float]:
     """Deterministic stand-in for a real feature extractor: FEATURE_DIM
     floats derived from sha256 of the payload. Keeps the downstream
-    schema/contract identical to a real model's output."""
+    schema/contract identical to a real model's output.
+
+    The counter-mode stretch chains HEX STRINGS (not raw digests) so the
+    whole derivation is replicable in DuckDB SQL (`sha256` there accepts
+    VARCHAR only) — the driver oracle recomputes feature_norm bit-exactly:
+    block_i = sha256_hex(sha256_hex(payload) || str(i)),
+    v_j = int(block_i[8j:8j+8], 16), feature = v/2^32*2-1."""
     import hashlib
 
-    d = hashlib.sha256(payload).digest()
-    # stretch to FEATURE_DIM via counter-mode hashing
+    d = hashlib.sha256(payload).hexdigest()
     out = []
     i = 0
     while len(out) < FEATURE_DIM:
-        block = hashlib.sha256(d + i.to_bytes(4, "big")).digest()
-        for j in range(0, 32, 4):
+        block = hashlib.sha256((d + str(i)).encode()).hexdigest()
+        for j in range(0, 64, 8):
             if len(out) >= FEATURE_DIM:
                 break
-            v = int.from_bytes(block[j : j + 4], "big")
+            v = int(block[j : j + 8], 16)
             out.append((v / float(1 << 32)) * 2.0 - 1.0)
         i += 1
     return out

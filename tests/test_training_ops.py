@@ -185,6 +185,129 @@ def test_frame_sampling_shape(spark, docs):
     assert len({bytes(r["frame"]) for r in frames}) == 3
 
 
+def _clustered_vecs(seed, n, dim, n_clusters=4, spread=0.08):
+    import random
+
+    rnd = random.Random(seed)
+    bases = [[rnd.uniform(-1, 1) for _ in range(dim)] for _ in range(n_clusters)]
+    return [
+        (i, [x + rnd.uniform(-spread, spread) for x in bases[i % n_clusters]])
+        for i in range(n)
+    ]
+
+
+def test_lsh_ann_recall_vs_bruteforce(spark):
+    """VERDICT r1 #2: ANN recall must be measured, not assumed. LSH top-k
+    over a clustered corpus must recover ≥0.9 of the exact top-k set."""
+    vecs = _clustered_vecs(3, 80, 16)
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") < 8)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.cosine_topk_bruteforce(df, q, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.lsh_ann_topk(df, q, k=5, dim=16, n_planes=4, n_tables=6).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"LSH-ANN recall {recall:.2f} < 0.9"
+
+
+def test_embedding_near_dups_lsh_recall_vs_exact(spark):
+    """The default (LSH) mode must recover ≥0.95 of the exact-mode
+    near-dup pairs at a high similarity threshold, with identical sims
+    on the pairs it finds."""
+    vecs = _clustered_vecs(5, 100, 16, n_clusters=10, spread=0.03)
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    exact = {
+        (r["id_a"], r["id_b"]): r["sim"]
+        for r in sim.embedding_near_dups(df, threshold=0.95, mode="exact").collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"]): r["sim"]
+        for r in sim.embedding_near_dups(
+            df, threshold=0.95, mode="lsh", dim=16, n_planes=4, n_tables=8
+        ).collect()
+    }
+    assert len(exact) > 10
+    recall = len(set(exact) & set(lsh)) / len(exact)
+    assert recall >= 0.95, f"near-dup LSH recall {recall:.2f} < 0.95"
+    for k, v in lsh.items():
+        assert exact[k] == v  # verified sims are exact, never approximated
+    with pytest.raises(ValueError):
+        sim.embedding_near_dups(df, mode="bogus")
+
+
+def test_ivf_kmeans_init_recall(spark):
+    """init='kmeans' (Lloyd-refined centroids) must match or beat the
+    hash-sample init's recall vs the exact top-k."""
+    vecs = _clustered_vecs(9, 120, 16, n_clusters=6, spread=0.06)
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") < 6)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.cosine_topk_bruteforce(df, q, k=4).collect()
+    }
+
+    def recall(init):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in sim.ivf_topk(
+                df, q, k=4, n_centroids=8, n_probe=3, init=init
+            ).collect()
+        }
+        return len(exact & got) / len(exact)
+
+    r_hash, r_km = recall("hash_sample"), recall("kmeans")
+    assert r_km >= 0.9
+    assert r_km >= r_hash - 1e-9
+
+
+def test_simhash_portable_complete_banding(spark, docs):
+    """The portable 56-bit variant with bands > max_hamming is COMPLETE:
+    its pair set equals brute-force all-pairs hamming over the collected
+    simhash values (this equivalence is what the driver oracle relies
+    on)."""
+    vals = {
+        r["doc_id"]: r["s"]
+        for r in docs.select(
+            "doc_id",
+            dd.simhash64(
+                F.col("text"), bits=56, token_hash=dd.portable_token_hash
+            ).alias("s"),
+        ).collect()
+    }
+    expect = set()
+    ids = sorted(vals)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if bin(vals[a] ^ vals[b]).count("1") <= 7:
+                expect.add((a, b))
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dd.simhash_near_dups(
+            docs, max_hamming=7, bands=8, bits=56, token_hash=dd.portable_token_hash
+        ).collect()
+    }
+    assert got == expect
+
+
+def test_minhash_pairs_equal_exact_set(spark, docs):
+    """On corpora whose true pairs sit far above the LSH miss curve, the
+    verified LSH output EQUALS the exact-Jaccard set — the property the
+    driver oracle asserts at sf0.01."""
+    lsh = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dd.minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dd.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert lsh == exact
+
+
 def test_ivf_topk_finds_cluster_neighbors(spark):
     import random
 
