@@ -183,6 +183,67 @@ def q_s3_segment_order(spark, sf):
     )
 
 
+def q_s7_ddl_parse(spark, sf):
+    """S7 — DDL-statement parsing: deterministic ALTER statements are
+    synthesized from the ``part`` table, then parsed by the REAL parser
+    (sources/ddl.py, ≙ OracleDdlParser.java:44-110) inside an
+    Arrow-batched pandas UDF; the oracle re-derives the expected actions
+    (incl. the NUMBER(p,0) width ladder) independently in SQL."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql import types as T
+
+    from debezium_incubator_spark.sources.ddl import parse_ddl
+
+    out_t = T.StructType(
+        [
+            T.StructField("action", T.StringType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("new_name", T.StringType()),
+            T.StructField("dtype", T.StringType()),
+        ]
+    )
+
+    @pandas_udf(out_t, "scalar")
+    def parse_udf(stmts):
+        rows = []
+        for s in stmts:
+            (a,) = parse_ddl(s)  # one action per generated statement
+            rows.append(
+                (a["action"], a.get("name"), a.get("new_name"), a.get("dtype"))
+            )
+        return pd.DataFrame(rows, columns=["action", "name", "new_name", "dtype"])
+
+    part = spark.read.parquet(f"{sf}/part.parquet").select("p_partkey")
+    k = F.col("p_partkey").cast("long")
+    prec = (k % 19 + 1).cast("int")
+    stmt = (
+        F.when(
+            k % 3 == 0,
+            F.format_string(
+                "ALTER TABLE repos.files ADD (extra_%d NUMBER(%d,0) NOT NULL)", k, prec
+            ),
+        )
+        .when(
+            k % 3 == 1,
+            F.format_string(
+                "ALTER TABLE repos.files RENAME COLUMN old_%d TO new_%d", k, k
+            ),
+        )
+        .otherwise(
+            F.format_string("ALTER TABLE repos.files DROP COLUMN dead_%d", k)
+        )
+    )
+    parsed = part.select("p_partkey", parse_udf(stmt).alias("a"))
+    return parsed.select(
+        "p_partkey",
+        F.col("a.action").alias("action"),
+        F.col("a.name").alias("name"),
+        F.col("a.new_name").alias("new_name"),
+        F.col("a.dtype").alias("dtype"),
+    )
+
+
 # --------------------------------------------------------------- T operators
 
 def q_t2_row_classifier(spark, sf):
@@ -438,6 +499,7 @@ QUERIES = {
     "d6_snapshot_stream_handoff": q_d6_snapshot_stream_handoff,
     "s1_snapshot_read": q_s1_snapshot_read,
     "s3_segment_order": q_s3_segment_order,
+    "s7_ddl_parse": q_s7_ddl_parse,
     "t2_row_classifier": q_t2_row_classifier,
     "t5_ttl_deletion_ts": q_t5_ttl_deletion_ts,
     "t6_field_blacklist": q_t6_field_blacklist,
@@ -526,6 +588,29 @@ ORACLES = {
                min(event_id) AS first_offset, max(event_id) AS last_offset,
                count(*) AS n_mutations
         FROM events GROUP BY 1 ORDER BY 1
+    """,
+    # expected parse actions re-derived from the statement-generation rule
+    # (incl. identifier upper-folding and the NUMBER(p,0) width ladder)
+    "s7_ddl_parse": """
+        WITH g AS (
+          SELECT p_partkey, p_partkey % 3 AS m, (p_partkey % 19 + 1)::INT AS p
+          FROM part)
+        SELECT p_partkey,
+               CASE m WHEN 0 THEN 'add_column'
+                      WHEN 1 THEN 'rename_column'
+                      ELSE 'drop_column' END AS action,
+               CASE m WHEN 0 THEN 'EXTRA_' || p_partkey
+                      WHEN 1 THEN 'OLD_' || p_partkey
+                      ELSE 'DEAD_' || p_partkey END AS name,
+               CASE m WHEN 1 THEN 'NEW_' || p_partkey END AS new_name,
+               CASE m WHEN 0 THEN
+                 CASE WHEN p < 3 THEN 'tinyint'
+                      WHEN p < 5 THEN 'smallint'
+                      WHEN p < 10 THEN 'int'
+                      WHEN p < 19 THEN 'bigint'
+                      ELSE 'decimal(' || p || ',0)' END
+               END AS dtype
+        FROM g
     """,
     "t2_row_classifier": """
         SELECT event_id,

@@ -336,12 +336,24 @@ class CDCEngine:
             elif action == "drop_column":
                 self.table.drop_column(r["name"])
             else:
+                # create_table/drop_table arrive pre-provisioning; anything
+                # else is the reference's warn-and-continue path
                 import warnings
 
                 warnings.warn(f"unsupported DDL action skipped: {action}")
                 continue
             applied += 1
         return applied
+
+    def apply_ddl_statements(self, statements: list[str]) -> int:
+        """S7 — raw DDL text → parsed actions → schema commits. The parse
+        step is the reference's OracleDdlParser.java:44-110 /
+        AlterTableParserListener.java:76-133 analog (sources/ddl.py);
+        apply keeps the same order-sensitive semantics as
+        apply_ddl_events."""
+        from debezium_incubator_spark.sources.ddl import parse_ddl_batch
+
+        return self.apply_ddl_events(parse_ddl_batch(statements))
 
     def add_column(self, name: str, dtype: str = "string") -> None:
         self.table.add_column(name, dtype)

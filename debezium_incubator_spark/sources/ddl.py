@@ -1,0 +1,215 @@
+"""S7 — DDL statement parser: Oracle DDL text → schema-change actions.
+
+The reference parses DDL through ANTLR (OracleDdlParser.java:44-110;
+listeners AlterTableParserListener.java:76-133, column extraction
+ColumnDefinitionParserListener; golden-tested in
+OracleDdlParserTest.java:44-156 against
+src/test/resources/ddl/create_table.sql). We don't need a full PL/SQL
+grammar — the CDC control stream only ever carries table DDL — so this
+is a small recursive regex parser over the statement forms the reference
+tests exercise:
+
+* CREATE TABLE [db.]tbl (col TYPE [(p[,s])] [DEFAULT lit] [NOT NULL],
+  ..., PRIMARY KEY (cols)) — one ``create_table`` action carrying the
+  column list (names upper-cased like Oracle's identifier folding) and
+  the primary key.
+* ALTER TABLE tbl ADD (col TYPE [NOT NULL], ...) and the single-column
+  ``ADD [COLUMN] col TYPE`` form (which Oracle's own grammar rejects
+  without parens — we accept both, noting the reference test's comment).
+* ALTER TABLE tbl RENAME COLUMN a TO b → ``rename_column``.
+* ALTER TABLE tbl DROP COLUMN c / DROP (c1, c2) → ``drop_column`` each.
+* DROP TABLE tbl → ``drop_table``.
+
+Oracle types map to Spark types through functions/types.py
+(``oracle_to_spark`` / ``oracle_number_to_spark``), so a parsed
+``add_column`` action feeds ``CDCEngine.apply_ddl_events`` directly.
+"""
+
+from __future__ import annotations
+
+import re
+
+from debezium_incubator_spark.functions.types import (
+    oracle_number_to_spark,
+    oracle_to_spark,
+)
+
+_IDENT = r'(?:"[^"]+"|[A-Za-z_][A-Za-z0-9_$#]*)'
+_QUALIFIED = rf"{_IDENT}(?:\s*\.\s*{_IDENT})?"
+
+_CREATE_RE = re.compile(
+    rf"^\s*CREATE\s+TABLE\s+(?P<table>{_QUALIFIED})\s*\((?P<body>.*)\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_ALTER_RE = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+(?P<table>{_QUALIFIED})\s+(?P<rest>.*?);?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_TABLE_RE = re.compile(
+    rf"^\s*DROP\s+TABLE\s+(?P<table>{_QUALIFIED})\b.*$", re.IGNORECASE | re.DOTALL
+)
+_COLDEF_RE = re.compile(
+    rf"^(?P<name>{_IDENT})\s+(?P<type>[A-Za-z_][A-Za-z0-9_ ]*?)"
+    r"(?:\s*\(\s*(?P<p>\d+)\s*(?:,\s*(?P<s>\d+)\s*)?\))?"
+    r"(?P<tail>(?:\s+.*)?)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DEFAULT_RE = re.compile(r"\bDEFAULT\s+('(?:[^']*)'|[^\s,]+)", re.IGNORECASE)
+
+# Oracle synonyms that land on NUMBER semantics (ANSI numeric names are
+# NUMBER under the hood — OracleDdlParserTest's `int` / `decimal(6,2)`)
+_NUMBER_ALIASES = {"number", "int", "integer", "smallint", "decimal", "numeric", "dec"}
+
+
+def _ident(s: str) -> str:
+    """Oracle folds unquoted identifiers to upper case; quoted keep case."""
+    s = s.strip()
+    if s.startswith('"') and s.endswith('"'):
+        return s[1:-1]
+    return s.upper()
+
+
+def _split_top(body: str) -> list[str]:
+    """Split on commas at paren depth 0, respecting quoted strings."""
+    out, depth, cur, in_str = [], 0, [], False
+    for ch in body:
+        if in_str:
+            cur.append(ch)
+            if ch == "'":
+                in_str = False
+            continue
+        if ch == "'":
+            in_str = True
+            cur.append(ch)
+        elif ch == "(":
+            depth += 1
+            cur.append(ch)
+        elif ch == ")":
+            depth -= 1
+            cur.append(ch)
+        elif ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur and "".join(cur).strip():
+        out.append("".join(cur).strip())
+    return out
+
+
+def _spark_dtype(type_name: str, p: int | None, s: int | None) -> str:
+    base = type_name.strip().lower()
+    if base in _NUMBER_ALIASES:
+        if base in ("int", "integer"):
+            p = p if p is not None else 38
+            s = s if s is not None else 0
+        if base == "smallint":
+            p, s = (p if p is not None else 4), (s if s is not None else 0)
+        return oracle_number_to_spark(p, s if s is not None else (0 if p is not None else None)).simpleString()
+    if base == "float":
+        # FLOAT(binary precision) is NUMBER-backed but converts to double
+        return "double"
+    return oracle_to_spark(base, p, s).simpleString()
+
+
+def _parse_coldef(text: str, table: str) -> dict | None:
+    m = _COLDEF_RE.match(text.strip())
+    if not m:
+        return None
+    type_name = m.group("type").strip()
+    tail = m.group("tail") or ""
+    dm = _DEFAULT_RE.search(tail)
+    default = dm.group(1).strip("'") if dm else None
+    not_null = re.search(r"\bNOT\s+NULL\b", tail, re.IGNORECASE) is not None
+    return {
+        "action": "add_column",
+        "table": table,
+        "name": _ident(m.group("name")),
+        "dtype": _spark_dtype(type_name, _int(m.group("p")), _int(m.group("s"))),
+        "nullable": not not_null,
+        "default": default,
+    }
+
+
+def _int(v: str | None) -> int | None:
+    return int(v) if v is not None else None
+
+
+def parse_ddl(statement: str) -> list[dict]:
+    """Parse ONE DDL statement into schema-change action rows (the input
+    format of ``CDCEngine.apply_ddl_events``). Unsupported statements
+    (GRANT, CREATE INDEX, ALTER ... MODIFY, constraints) return a single
+    ``{"action": "unsupported"}`` row — the engine warns and skips them,
+    matching the reference's warn-and-continue on unhandled DDL
+    (OracleSchemaChangeEventEmitter:42-80)."""
+    stmt = statement.strip().rstrip(";").strip()
+    m = _CREATE_RE.match(statement)
+    if m:
+        table = _ident(re.sub(r"\s*\.\s*", ".", m.group("table")))
+        cols, pk = [], []
+        for item in _split_top(m.group("body")):
+            pkm = re.match(r"^PRIMARY\s+KEY\s*\(([^)]*)\)$", item, re.IGNORECASE)
+            if pkm:
+                pk = [_ident(c) for c in pkm.group(1).split(",")]
+                continue
+            if re.match(r"^(CONSTRAINT|UNIQUE|CHECK|FOREIGN)\b", item, re.IGNORECASE):
+                continue
+            cd = _parse_coldef(item, table)
+            if cd:
+                cols.append({k: cd[k] for k in ("name", "dtype", "nullable", "default")})
+        return [
+            {"action": "create_table", "table": table, "columns": cols, "primary_key": pk}
+        ]
+    m = _DROP_TABLE_RE.match(stmt)
+    if m:
+        return [{"action": "drop_table", "table": _ident(re.sub(r"\s*\.\s*", ".", m.group("table")))}]
+    m = _ALTER_RE.match(statement)
+    if m:
+        table = _ident(re.sub(r"\s*\.\s*", ".", m.group("table")))
+        rest = m.group("rest").strip().rstrip(";").strip()
+        am = re.match(r"^ADD\s*(?:COLUMN\s+)?\((?P<body>.*)\)$", rest, re.IGNORECASE | re.DOTALL)
+        if am:
+            out = []
+            for item in _split_top(am.group("body")):
+                cd = _parse_coldef(item, table)
+                if cd:
+                    out.append(cd)
+            return out or [{"action": "unsupported", "table": table, "text": stmt}]
+        am = re.match(r"^ADD\s+(?:COLUMN\s+)?(?P<def>.+)$", rest, re.IGNORECASE | re.DOTALL)
+        if am and not re.match(r"^CONSTRAINT\b", am.group("def"), re.IGNORECASE):
+            cd = _parse_coldef(am.group("def"), table)
+            if cd:
+                return [cd]
+        rm = re.match(
+            rf"^RENAME\s+COLUMN\s+(?P<old>{_IDENT})\s+TO\s+(?P<new>{_IDENT})$",
+            rest,
+            re.IGNORECASE,
+        )
+        if rm:
+            return [
+                {
+                    "action": "rename_column",
+                    "table": table,
+                    "name": _ident(rm.group("old")),
+                    "new_name": _ident(rm.group("new")),
+                }
+            ]
+        dm = re.match(r"^DROP\s*\((?P<cols>[^)]*)\)$", rest, re.IGNORECASE)
+        if dm:
+            return [
+                {"action": "drop_column", "table": table, "name": _ident(c)}
+                for c in dm.group("cols").split(",")
+            ]
+        dm = re.match(rf"^DROP\s+COLUMN\s+(?P<col>{_IDENT})$", rest, re.IGNORECASE)
+        if dm:
+            return [{"action": "drop_column", "table": table, "name": _ident(dm.group("col"))}]
+        return [{"action": "unsupported", "table": table, "text": stmt}]
+    return [{"action": "unsupported", "table": None, "text": stmt}]
+
+
+def parse_ddl_batch(statements: list[str]) -> list[dict]:
+    """Parse many statements in order (a DDL control-stream epoch)."""
+    out = []
+    for s in statements:
+        out.extend(parse_ddl(s))
+    return out
