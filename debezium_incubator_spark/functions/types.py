@@ -150,6 +150,56 @@ def oracle_to_spark(type_name: str, precision=None, scale=None) -> T.DataType:
     return ORACLE_TYPE_MAP[base]
 
 
+# ---------------------------------------------------------------- nested types
+# Cassandra collection/tuple/UDT VALUE conversion, mirroring the
+# transforms/type/deserializer family (CassandraTypeDeserializer.java:92-111):
+#   ListTypeDeserializer  → array (order preserved)
+#   SetTypeDeserializer   → array (Avro has no set; we additionally sort +
+#                           dedup so the distributed result is canonical —
+#                           the JVM set's iteration order is not)
+#   MapTypeDeserializer   → map, keys stringified when not already string
+#                           (Avro map keys must be strings)
+#   TupleTypeDeserializer → struct with fields field0..fieldN
+#   UserTypeDeserializer  → struct with the UDT's own field names
+
+
+def list_to_array(col: Column) -> Column:
+    """ListTypeDeserializer: identity — Spark arrays are ordered."""
+    return col
+
+
+def set_to_array(col: Column) -> Column:
+    """SetTypeDeserializer → array; canonicalized (sorted, distinct) so
+    the same logical set always serializes identically across tasks."""
+    return F.array_sort(F.array_distinct(col))
+
+
+def map_string_keys(col: Column) -> Column:
+    """MapTypeDeserializer: 'squish the keys down into strings' when the
+    key type is not string (MapTypeDeserializer.java:21-40)."""
+    entries = F.transform(
+        F.map_entries(col),
+        lambda e: F.struct(e["key"].cast("string").alias("key"), e["value"].alias("value")),
+    )
+    return F.map_from_entries(entries)
+
+
+def tuple_field_name(i: int) -> str:
+    """TupleTypeDeserializer.FIELD_NAME_PREFIX + index."""
+    return f"field{i}"
+
+
+def tuple_to_struct(*cols: Column) -> Column:
+    """TupleTypeDeserializer: positional tuple → record{field0..fieldN}."""
+    return F.struct(*[c.alias(tuple_field_name(i)) for i, c in enumerate(cols)])
+
+
+def udt_to_struct(col: Column, field_names: list[str]) -> Column:
+    """UserTypeDeserializer: UDT value → record with the UDT's field
+    names (order given by the type definition)."""
+    return F.struct(*[col[n].alias(n) for n in field_names])
+
+
 # ---------------------------------------------------------------- converters
 
 def timestamp_to_epoch_micros(ts: Column) -> Column:

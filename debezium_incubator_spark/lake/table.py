@@ -152,12 +152,18 @@ class LakeTable:
         try:
             fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         except FileExistsError:
-            # steal only if the owning pid is dead (crash recovery)
+            # steal only if the owning pid is dead (crash recovery);
+            # pid <= 0 means the previous writer died between creating the
+            # file and writing its pid — os.kill(0, 0) would signal OUR
+            # process group and always "succeed", wedging the lock forever
             try:
                 with open(lock) as f:
                     pid = int(f.read().strip() or "0")
-                os.kill(pid, 0)
-                alive = True
+                if pid <= 0:
+                    alive = False
+                else:
+                    os.kill(pid, 0)
+                    alive = True
             except (ProcessLookupError, ValueError):
                 alive = False
             except PermissionError:
@@ -239,6 +245,7 @@ class LakeTable:
         replace_buckets: Iterable[int],
         summary: dict | None = None,
         expected_version: int | None = None,
+        write_tasks: int | None = None,
     ) -> int:
         """Copy-on-write commit: rewrite ``replace_buckets`` with ``df``.
 
@@ -246,6 +253,13 @@ class LakeTable:
         buckets, with a ``_bucket`` column. Untouched buckets keep their
         existing files — at 100 TB a CDC batch touching 1% of buckets
         rewrites 1% of the table.
+
+        ``write_tasks`` sizes the write shuffle: with N buckets touched
+        and write_tasks > N the shuffle keys on (bucket, key-salt), so a
+        200 GB bucket is written by many tasks producing many files under
+        its partition directory (the manifest already lists multiple
+        files per bucket). Default keys on bucket alone — one reducer per
+        touched bucket — which is only right when buckets are small.
         """
         with self._writer_lock():
             m = self.manifest()
@@ -259,11 +273,25 @@ class LakeTable:
             replace = set(int(b) for b in replace_buckets)
 
             cur_names = [f["name"] for f in self.current_fields(m)]
-            # one shuffle keyed on bucket → one file-group per bucket;
+            n_tasks = max(len(replace), 1)
+            part_exprs = [F.col(BUCKET_COL)]
+            if write_tasks is not None and write_tasks > n_tasks:
+                # spread each bucket over ~write_tasks/n_buckets reducers:
+                # salt on the primary-key hash (uniform within a bucket).
+                # partitionBy on write still routes rows to the right
+                # directory, so the salt never leaks into the layout.
+                n_tasks = int(write_tasks)
+                part_exprs.append(
+                    F.pmod(
+                        F.xxhash64(*[F.col(c) for c in m["bucket_cols"]], F.lit(0x5A17)),
+                        F.lit(max(1, n_tasks // max(len(replace), 1))),
+                    )
+                )
+            # shuffle keyed on (bucket[, salt]) → file-groups per bucket;
             # AQE coalesces small buckets into shared tasks
             (
                 df.select(*cur_names, BUCKET_COL)
-                .repartition(max(len(replace), 1), F.col(BUCKET_COL))
+                .repartition(n_tasks, *part_exprs)
                 .write.partitionBy(BUCKET_COL)
                 .mode("overwrite")
                 .parquet(out_dir)
@@ -386,28 +414,33 @@ class LakeTable:
 
     def expire_versions(self, keep_last: int = 2) -> list[int]:
         """GC old versions + unreferenced data dirs (reference analog:
-        commit-log archive/delete post-processing, QueueProcessor.java:85-106)."""
-        cur = self.version()
-        keep = set(range(max(0, cur - keep_last + 1), cur + 1))
-        live_dirs: set[str] = set()
-        for v in keep:
-            for files in self.manifest(v)["buckets"].values():
-                for fi in files:
-                    live_dirs.add(fi["path"].split("/")[1])
-        removed = []
-        for fn in os.listdir(self.meta_dir):
-            if fn.startswith("v") and fn.endswith(".json"):
-                v = int(fn[1:6])
-                if v not in keep:
-                    os.unlink(os.path.join(self.meta_dir, fn))
-                    removed.append(v)
-        data_dir = os.path.join(self.path, "data")
-        for d in os.listdir(data_dir):
-            if d not in live_dirs:
-                import shutil
+        commit-log archive/delete post-processing, QueueProcessor.java:85-106).
 
-                shutil.rmtree(os.path.join(data_dir, d), ignore_errors=True)
-        return sorted(removed)
+        Runs under the writer lock: a concurrent commit's freshly written
+        data/vNNNNN-* dir is unreferenced until _publish, and an unlocked
+        background GC could rmtree it between write and publish."""
+        with self._writer_lock():
+            cur = self.version()
+            keep = set(range(max(0, cur - keep_last + 1), cur + 1))
+            live_dirs: set[str] = set()
+            for v in keep:
+                for files in self.manifest(v)["buckets"].values():
+                    for fi in files:
+                        live_dirs.add(fi["path"].split("/")[1])
+            removed = []
+            for fn in os.listdir(self.meta_dir):
+                if fn.startswith("v") and fn.endswith(".json"):
+                    v = int(fn[1:6])
+                    if v not in keep:
+                        os.unlink(os.path.join(self.meta_dir, fn))
+                        removed.append(v)
+            data_dir = os.path.join(self.path, "data")
+            for d in os.listdir(data_dir):
+                if d not in live_dirs:
+                    import shutil
+
+                    shutil.rmtree(os.path.join(data_dir, d), ignore_errors=True)
+            return sorted(removed)
 
 
 def _parse_type(ddl: str) -> T.DataType:

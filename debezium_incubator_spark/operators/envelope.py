@@ -202,9 +202,15 @@ def build_envelope(
     """
     p_names = payload_fields or [n for n, _ in PAYLOAD_FIELDS]
     op_col = F.lit(op) if isinstance(op, str) else op
+    # payload struct type follows the source column types (nested
+    # list/set/map/tuple/UDT payloads ride through unchanged — the
+    # CassandraTypeDeserializer family's job is done by the converters in
+    # functions/types.py before this point)
+    ptype = T.StructType(
+        [T.StructField(n, df.schema[n].dataType, True) for n in p_names]
+    )
     after = F.when(
-        op_col.isin(OP_TOMBSTONE),
-        F.lit(None).cast(payload_type([(n, "string") for n in p_names])),
+        op_col.isin(OP_TOMBSTONE), F.lit(None).cast(ptype)
     ).otherwise(F.struct(*[F.col(n).alias(n) for n in p_names]))
     seg = F.floor(offset / F.lit(segment_size)).cast("long")
     pos = (offset % F.lit(segment_size)).cast("int")
@@ -229,9 +235,7 @@ def build_envelope(
         ts_ms.cast("long").alias("ts_ms"),
         F.col("repo"),
         F.col("path"),
-        (before if before is not None else F.lit(None).cast(
-            payload_type([(n, "string") for n in p_names])
-        )).alias("before"),
+        (before if before is not None else F.lit(None).cast(ptype)).alias("before"),
         after.alias("after"),
         src.alias("source"),
     )

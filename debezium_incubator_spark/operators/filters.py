@@ -29,23 +29,49 @@ SYSTEM_REPO_EXCLUDES = [r"^_system/", r"^_internal/", r"^sys/"]
 
 
 def drop_envelope_fields(
-    df: DataFrame, fields: list[str], struct_cols: tuple[str, ...] = ("after", "before")
+    df: DataFrame,
+    fields: list[str],
+    struct_cols: tuple[str, ...] = ("after", "before"),
+    table_col: str = "repo",
 ) -> DataFrame:
     """T6 — remove blacklisted payload fields from before/after images of
     insert/update/read rows; delete rows pass through untouched
     (reference: deletes are never field-filtered,
-    FieldFilterSelector.java:40-44)."""
+    FieldFilterSelector.java:40-44).
+
+    Entries are either bare field names (apply to every table) or
+    ``table.field`` keyed per table — the reference filters by fully
+    qualified ``keyspace.table.field`` (FieldFilterSelector.java:28-50,
+    config CassandraConnectorConfig.java:230). Our table id is the
+    ``table_col`` value (repo), so ``org00/repo-0001.content`` scrubs
+    ``content`` only for that repo. The per-table condition rides the
+    same when() — still a pure Column expression."""
     if not fields:
         return df
+    global_fields = [f for f in fields if "." not in f]
+    per_table: dict[str, list[str]] = {}
+    for f in fields:
+        if "." in f:
+            tbl, fld = f.rsplit(".", 1)
+            per_table.setdefault(fld, []).append(tbl)
     out = df
     for sc in struct_cols:
         if sc not in df.columns:
             continue
         subfields = {f.name: f.dataType for f in df.schema[sc].dataType.fields}
         scrubbed = F.col(sc)
-        for f in fields:
+        for f in global_fields:
             if f in subfields:
                 scrubbed = scrubbed.withField(f, F.lit(None).cast(subfields[f]))
+        for fld, tables in per_table.items():
+            if fld in subfields:
+                match = F.col(table_col).isin(*tables)
+                scrubbed = scrubbed.withField(
+                    fld,
+                    F.when(match, F.lit(None).cast(subfields[fld])).otherwise(
+                        scrubbed[fld]
+                    ),
+                )
         out = out.withColumn(
             sc,
             F.when(F.col("op").isin(*DELETE_OPS), F.col(sc)).otherwise(scrubbed),

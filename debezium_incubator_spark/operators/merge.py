@@ -40,6 +40,8 @@ def merge_upsert(
     summary: dict | None = None,
     after_set_col: str | None = None,
     broadcast_keys_max: int = 4_000_000,
+    broadcast_key_bytes_max: int = 64 * 1024 * 1024,
+    target_rows_per_write_task: int = 500_000,
     assume_unique_keys: bool = False,
     lww_strategy: str = "agg",
     salt_buckets: int = 16,
@@ -67,6 +69,7 @@ def merge_upsert(
     # normalization/fingerprint work into the stats pass too
     b = table.with_bucket(batch, m)
     order0 = order_cols[0]
+    key_len = sum((F.coalesce(F.length(F.col(k).cast("string")), F.lit(0)) for k in key_cols), F.lit(0))
     stats_rows = (
         b.groupBy(BUCKET_COL)
         .agg(
@@ -74,6 +77,7 @@ def merge_upsert(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col(op_col).isin(*delete_ops).cast("long")).alias("n_del"),
             F.sum((F.col(op_col) == "t").cast("long")).alias("n_tomb"),
+            F.sum(key_len).alias("key_bytes"),
         )
         .collect()
     )
@@ -85,6 +89,10 @@ def merge_upsert(
     events_in = sum(int(r["n"]) for r in stats_rows)
     n_del = sum(int(r["n_del"]) for r in stats_rows)
     n_tomb = sum(int(r["n_tomb"]) for r in stats_rows)
+    # estimated driver-side size of the broadcast key set: measured key
+    # bytes + ~48 B/row HashedRelation overhead (gate on BYTES, not rows:
+    # 4M long (repo, path) strings would be hundreds of MB on the driver)
+    key_bytes_est = sum(int(r["key_bytes"] or 0) for r in stats_rows) + 48 * events_in
 
     extra = [c for c in (op_col, BUCKET_COL, after_set_col) if c]
     if assume_unique_keys:
@@ -116,6 +124,7 @@ def merge_upsert(
     use_broadcast = (
         not target_empty
         and (events_in <= min(broadcast_keys_max, max(target_rows // 4, 100_000)))
+        and key_bytes_est <= broadcast_key_bytes_max
     ) or after_set_col is not None
 
     if target_empty:
@@ -183,8 +192,17 @@ def merge_upsert(
     full_summary = dict(summary or {})
     full_summary["max_offsets"] = max_offsets
     full_summary["counters"] = counters
+    # size the CoW write shuffle by estimated output volume: a touched
+    # 200 GB bucket must never funnel through ONE reducer (the salt in
+    # LakeTable.commit spreads it; partitionBy keeps the layout)
+    rows_out_est = target_rows + events_in
+    write_tasks = max(
+        len(changed), -(-rows_out_est // max(target_rows_per_write_task, 1))
+    )
     try:
-        version = table.commit(out, replace_buckets=changed, summary=full_summary)
+        version = table.commit(
+            out, replace_buckets=changed, summary=full_summary, write_tasks=write_tasks
+        )
     finally:
         if latest.is_cached:
             latest.unpersist()

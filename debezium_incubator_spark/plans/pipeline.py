@@ -58,6 +58,7 @@ class CDCEngine:
         lww_strategy: str = "agg",  # agg | window | window_salted
         salt_buckets: int = 16,
         checkpoint_interval: int = 1,
+        snapshot_mode: str = "initial",  # initial | always | never
     ):
         self.spark = spark
         self.table_path = table_path
@@ -88,7 +89,17 @@ class CDCEngine:
         # the in-between epochs (commits remain transactional either way,
         # so exactly-once is unaffected; only checkpoint-file I/O drops)
         self.checkpoint_interval = max(1, int(checkpoint_interval))
+        # S1/S2 snapshot policy (SnapshotProcessor.java:84-93, asserted by
+        # invocation counts in SnapshotProcessorTest.java:111-159):
+        # INITIAL = once when no prior offset; ALWAYS = a consistent
+        # re-read is applied on every bootstrap() (the re-read IS current
+        # source state, so overwriting is correct); NEVER = skip straight
+        # to streaming.
+        if snapshot_mode not in ("initial", "always", "never"):
+            raise ValueError(f"snapshot_mode must be initial|always|never, got {snapshot_mode!r}")
+        self.snapshot_mode = snapshot_mode
         self._table: LakeTable | None = None
+        self._nb_checked = False
 
     # ------------------------------------------------------------- target table
     @property
@@ -119,6 +130,7 @@ class CDCEngine:
         pre-rename envelope field names onto the current schema (hard
         part (c): replay across renames keeps sha256 parity)."""
         after_fields = {f.name for f in events.schema["after"].dataType.fields}
+        field_types = {f["name"]: f["type"] for f in self.table.current_fields()}
         old_names = {}
         for r in renames:
             old_names[r["new"]] = r["old"]
@@ -132,7 +144,10 @@ class CDCEngine:
             if src in after_fields:
                 cols.append(F.col(f"after.{src}").alias(name))
             else:
-                cols.append(F.lit(None).cast("string").alias(name))
+                # column added by DDL after this envelope was written:
+                # null of the TABLE's type (was hardcoded string — wrong
+                # for nested list/map/struct payload columns)
+                cols.append(F.lit(None).cast(field_types.get(name, "string")).alias(name))
         out = events.select(*cols)
         if self.content_field in payload:
             c = F.col(self.content_field)
@@ -214,17 +229,33 @@ class CDCEngine:
 
     def bootstrap(self, source: DataFrame, snapshot_version: int | None = None) -> dict:
         """D6/S1/S2 — snapshot phase: consistent read → 'r' envelopes →
-        merge as epoch 0 → phase flips to 'stream'. Skipped entirely when
-        a previous offset exists (OracleSnapshotChangeEventSource.java:55-69;
-        SnapshotProcessorTest re-snapshot guard)."""
+        merge as epoch → phase flips to 'stream'.
+
+        Mode INITIAL: skipped entirely when a previous offset exists
+        (OracleSnapshotChangeEventSource.java:55-69; SnapshotProcessorTest
+        re-snapshot guard). Mode ALWAYS: every bootstrap() call applies a
+        fresh consistent read (SnapshotProcessor ALWAYS re-emits READs —
+        the re-read is current source state, so it may overwrite). Mode
+        NEVER: flip to streaming without reading the source."""
         ckpt = self._reconcile(self.store.latest())
-        if ckpt["phase"] != "snapshot":
+        if self.snapshot_mode == "never":
+            if ckpt["phase"] == "snapshot":
+                ckpt = dict(ckpt, phase="stream")
+                self.store.save(ckpt)
+            return ckpt
+        if self.snapshot_mode == "initial" and ckpt["phase"] != "snapshot":
             return ckpt
         payload = self._payload_names()
         env = snapshot_envelopes(source, payload_fields=payload)
-        # a consistent snapshot read has unique keys → skip the LWW shuffle
+        # a consistent snapshot read has unique keys → skip the LWW
+        # shuffle; snapshot rows carry no log position, so the D1 offset
+        # filter must not see them (is_snapshot)
         return self.apply_epoch(
-            env, phase="stream", snapshot_version=snapshot_version, assume_unique_keys=True
+            env,
+            phase="stream",
+            snapshot_version=snapshot_version,
+            assume_unique_keys=True,
+            is_snapshot=True,
         )
 
     def apply_epoch(
@@ -236,6 +267,7 @@ class CDCEngine:
         assume_unique_keys: bool = False,
         ckpt: dict | None = None,
         force_checkpoint: bool = False,
+        is_snapshot: bool = False,
     ) -> dict:
         """Apply one micro-batch exactly once; returns the new checkpoint
         state (persisted per the K2 flush policy; pass it back via
@@ -251,9 +283,22 @@ class CDCEngine:
         renames = ckpt.get("renames", [])
         flat = self._unwrap(self._prefilter(events), renames)
         flat = self.table.with_bucket(flat)
-        flat = filter_processed(
-            flat, ckpt.get("max_offsets", {}), num_buckets=self.num_buckets
-        )
+        if not is_snapshot:
+            # the global-min fast path inside filter_processed is only
+            # sound when the mark count covers EVERY bucket — validate
+            # the configured bucket count against the table's own
+            # manifest once, failing loudly on drift (a re-attached
+            # engine with a different --num-buckets would otherwise
+            # silently drop events in unmarked buckets)
+            nb = self.table.manifest()["num_buckets"]
+            if not self._nb_checked:
+                if nb != self.num_buckets:
+                    raise ValueError(
+                        f"num_buckets mismatch: engine configured {self.num_buckets}, "
+                        f"table manifest has {nb}"
+                    )
+                self._nb_checked = True
+            flat = filter_processed(flat, ckpt.get("max_offsets", {}), num_buckets=nb)
 
         summary: dict[str, Any] = {
             "epoch": target_epoch,

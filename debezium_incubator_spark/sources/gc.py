@@ -22,15 +22,26 @@ def expire_changelog_files(
     max_offsets: dict[str, int],
     num_buckets: int,
     mode: str = "archive",  # archive | delete
+    counters: dict | None = None,
 ) -> list[str]:
     """Move/delete fully-processed changelog parquet files. Conservative:
-    requires marks for all buckets (otherwise nothing is eligible)."""
+    requires marks for all buckets (otherwise nothing is eligible).
+
+    A CORRUPT file (unreadable footer) is moved to ``_error/`` and
+    counted — the reference's EOF-failure path puts the segment in
+    error/, not archive/ (QueueProcessor.java:98-102); the old behavior
+    here (skip silently, forever) hid the failure from operators.
+    Pass a ``counters`` dict to receive {"archived": n, "errors": n}."""
     import pyarrow.parquet as pq
 
+    counters = counters if counters is not None else {}
+    counters.setdefault("archived", 0)
+    counters.setdefault("errors", 0)
     if len(max_offsets) < num_buckets:
         return []
     low_water = min(int(v) for v in max_offsets.values())
     archive = os.path.join(changelog_dir, "_archive")
+    error_dir = os.path.join(changelog_dir, "_error")
     moved = []
     for fn in sorted(os.listdir(changelog_dir)):
         if not fn.endswith(".parquet"):
@@ -49,12 +60,19 @@ def expire_changelog_files(
             if max_off is None:
                 continue
         except Exception:
-            continue  # unreadable file: never GC it
+            import warnings
+
+            os.makedirs(error_dir, exist_ok=True)
+            shutil.move(path, os.path.join(error_dir, fn))
+            counters["errors"] += 1
+            warnings.warn(f"corrupt changelog segment moved to _error/: {fn}")
+            continue
         if int(max_off) <= low_water:
             if mode == "archive":
                 os.makedirs(archive, exist_ok=True)
                 shutil.move(path, os.path.join(archive, fn))
             else:
                 os.unlink(path)
+            counters["archived"] += 1
             moved.append(fn)
     return moved

@@ -18,9 +18,19 @@ the D1 filter + idempotent epoch commit.
 from __future__ import annotations
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 from debezium_incubator_spark.operators.envelope import changelog_schema
 from debezium_incubator_spark.plans.pipeline import CDCEngine
+
+
+class OutOfOrderDeliveryError(RuntimeError):
+    """A micro-batch mixed never-applied offsets at-or-below the
+    checkpointed stream position with new ones: the file source delivered
+    changelog files out of offset order. Applying it would let the D1
+    high-water-mark filter silently DROP the low offsets (they look like
+    replays) — data loss, not duplicate absorption. Re-deliver in order
+    or drive the offset-sliced batch path (CDCEngine.run)."""
 
 
 class StreamingCDC:
@@ -39,12 +49,30 @@ class StreamingCDC:
         self.schema = changelog_schema(payload_fields)
 
     def _apply_batch(self, batch_df, epoch_id: int) -> None:
-        # foreachBatch may redeliver a batch after restart; apply_epoch's
-        # summary/offset guards make the redelivery a no-op.
-        if batch_df.isEmpty():
+        # ONE stats action per micro-batch (count + offset bounds) —
+        # the old isEmpty + agg(max) pair cost two extra passes.
+        n, lo, top = batch_df.agg(
+            F.count(F.lit(1)), F.min("offset"), F.max("offset")
+        ).first()
+        ckpt = self.engine.store.latest()
+        last = int(ckpt.get("stream_pos", -1))
+        if n == 0:
+            # K5 heartbeat parity with the batch loop: an idle trigger
+            # still advances the epoch/checkpoint (no table commit)
+            self.engine.apply_epoch(batch_df, stream_pos=last)
             return
-        top = batch_df.agg({"offset": "max"}).first()[0]
-        self.engine.apply_epoch(batch_df, stream_pos=int(top))
+        lo, top = int(lo), int(top)
+        if lo <= last < top:
+            # mixed batch: offsets at-or-below the checkpointed position
+            # arriving TOGETHER with new ones. A whole-batch redelivery
+            # after restart has top <= last (absorbed below); a mix means
+            # the file source's delivery order is not offset order.
+            raise OutOfOrderDeliveryError(
+                f"batch spans checkpointed stream_pos={last}: offsets [{lo}, {top}]"
+            )
+        # top <= last → byte-identical redelivery: apply_epoch's offset
+        # guards make it a no-op; top > last → normal forward progress.
+        self.engine.apply_epoch(batch_df, stream_pos=max(top, last))
 
     def start(self, spark: SparkSession, available_now: bool = True):
         reader = (
