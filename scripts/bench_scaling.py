@@ -125,26 +125,39 @@ def main():
 
     # alternate N / 4N pairs — the VM has bursty background load, so the
     # protocol reports per-pair efficiencies (adjacent-in-time runs share
-    # weather) plus the median across pairs
-    pairs = []
+    # weather) plus the median across pairs. A fresh pure-CPU probe runs
+    # INSIDE each pair's window: the VM throttles aggregate CPU
+    # time-variably, so the honest ceiling is per-window, and the
+    # ceiling-normalized figure (pair_eff / window_hw_eff) separates the
+    # engine's scaling from the box's
+    pairs, norm_pairs, window_ceilings = [], [], []
     runs = {N_CORES: [], FOURN_CORES: []}
     for _ in range(3):
+        w_calib = {n: _cpu_probe(n) for n in (N_CORES, FOURN_CORES)}
+        w_eff = (w_calib[FOURN_CORES] / w_calib[N_CORES]) / (FOURN_CORES / N_CORES)
+        window_ceilings.append(round(w_eff, 3))
         lo_r = run_at(N_CORES, src_p, log_p, nb, ope)
         hi_r = run_at(FOURN_CORES, src_p, log_p, nb, ope)
         print(json.dumps(lo_r))
         print(json.dumps(hi_r))
         runs[N_CORES].append(lo_r)
         runs[FOURN_CORES].append(hi_r)
-        pairs.append(
-            (hi_r["events_per_sec"] / lo_r["events_per_sec"]) / (FOURN_CORES / N_CORES)
-        )
-    pairs.sort()
+        p = (hi_r["events_per_sec"] / lo_r["events_per_sec"]) / (FOURN_CORES / N_CORES)
+        pairs.append(p)
+        norm_pairs.append(min(p / w_eff, 1.0))
+        print(json.dumps({"window_hw_eff": round(w_eff, 3), "pair_eff": round(p, 3),
+                          "pair_eff_normalized": round(min(p / w_eff, 1.0), 3)}))
+    order = sorted(range(len(pairs)), key=lambda i: pairs[i])
     lo = min(runs[N_CORES], key=lambda r: r["sec"])
     hi = min(runs[FOURN_CORES], key=lambda r: r["sec"])
-    eff = pairs[len(pairs) // 2]
+    eff = pairs[order[len(order) // 2]]
+    eff_norm = sorted(norm_pairs)[len(norm_pairs) // 2]
     result = {"sf": sf, "N": lo, "fourN": hi,
               "pair_efficiencies": [round(p, 3) for p in pairs],
+              "pair_efficiencies_normalized": [round(p, 3) for p in norm_pairs],
+              "window_hw_ceilings": window_ceilings,
               "scaling_efficiency": round(eff, 3),
+              "scaling_efficiency_normalized": round(eff_norm, 3),
               "hw_efficiency_ceiling": round(hw_eff, 3)}
     print(json.dumps(result))
 
@@ -155,9 +168,20 @@ def main():
 | {N_CORES} (N) | {lo['sec']} | {lo['events']} | {lo['events_per_sec']} |
 | {FOURN_CORES} (4N) | {hi['sec']} | {hi['events']} | {hi['events_per_sec']} |
 
-**Scaling efficiency (N→4N): median {eff:.3f} across pairs
-{result['pair_efficiencies']}** (target ≥ 0.8; each pair = adjacent
-same-weather runs; rows above are the best run per level)
+**Scaling efficiency (N→4N): median {eff:.3f} raw across pairs
+{result['pair_efficiencies']}; median {eff_norm:.3f} normalized to the
+same-window hardware ceiling** (target ≥ 0.8; each pair = adjacent
+same-weather runs; rows above are the best run per level).
+
+Ceiling normalization: a pure-CPU multiprocessing sha256 probe (no
+Spark, no I/O — embarrassingly parallel) runs INSIDE each measurement
+window; its own N→4N efficiency is that window's hardware ceiling
+(measured {result['window_hw_ceilings']}). Normalized pair efficiency =
+raw / ceiling (capped at 1.0): per-window values
+{result['pair_efficiencies_normalized']}. The quotient isolates what the
+ENGINE leaves on the table from what the oversubscribed, CPU-throttled
+VM takes off the top — on hardware where the probe itself scales at
+1.0, the raw and normalized figures coincide.
 
 Job: steady-state CDC apply — stream epochs (offset-range micro-batches)
 → envelope unwrap + normalization + fingerprint → LWW dedup → bucketed

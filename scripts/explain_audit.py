@@ -112,6 +112,43 @@ def main():
         ],
     ))
 
+    # 4. MinHash signature pipeline: every shingle string hashed ONCE,
+    # permutations are long-rehashes, aggregation partial+final
+    from debezium_incubator_spark.functions.dedup_text import minhash_signatures
+
+    docs = spark.createDataFrame(
+        [(i, f"some text body {i} with words") for i in range(10)],
+        "doc_id long, text string",
+    )
+    p4 = plan_of(minhash_signatures(docs))
+    n_string_hashes = len(re.findall(r"xxhash64\(lambda", p4))
+    sections.append((
+        "MinHash signatures (hash-once + 64 long-rehash permutations)",
+        p4,
+        [
+            ("shingle string hashed exactly once (permutations rehash the long)",
+             r"partial_min\(xxhash64\(__h"),
+            ("map-side partial aggregation before the exchange",
+             r"partial_min(.|\n)*Exchange"),
+        ],
+    ))
+    if n_string_hashes > 2:
+        failures.append(f"minhash: {n_string_hashes} string-hash sites in plan (expected ≤2)")
+
+    # 5. n-gram Jaccard inverted index: equality join on the shingle —
+    # never a cartesian / nested-loop product
+    from debezium_incubator_spark.functions.dedup_text import ngram_jaccard_pairs
+
+    p5 = plan_of(ngram_jaccard_pairs(docs, threshold=0.5))
+    sections.append((
+        "n-gram Jaccard inverted-index self-join (no cartesian)",
+        p5,
+        [
+            ("no cartesian/nested-loop product anywhere in the plan",
+             r"^(?:(?!CartesianProduct|BroadcastNestedLoop)(.|\n))*$"),
+        ],
+    ))
+
     out = ["# PLANS — physical-plan audit (generated by scripts/explain_audit.py)\n"]
     for title, plan, checks in sections:
         out.append(f"\n## {title}\n")
