@@ -41,9 +41,14 @@ BENCH_QUERIES = [
     "d2_lww_dedup",
     "d3_merge_effect",
     "t11_envelope_assembly",
+    "s7_ddl_parse",
     "exact_dedup",
     "minhash_lsh_dups",
+    "ngram_jaccard_dups",
+    "simhash_near_dups",
     "knn_cosine",
+    "ann_lsh_topk",
+    "multimodal_features",
     "quality_score",
 ]
 

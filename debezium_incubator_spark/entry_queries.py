@@ -246,6 +246,25 @@ def q_s7_ddl_parse(spark, sf):
 
 # --------------------------------------------------------------- T operators
 
+def q_t1_partition_classifier(spark, sf):
+    """T1 — partition-update kind classification driven by the REAL
+    classifier (classify_partition_kind, ≙ PartitionType.getPartitionType,
+    CommitLogReadHandlerImpl.java:76-136) over deterministic flag columns
+    derived from the events table."""
+    from debezium_incubator_spark.operators.envelope import classify_partition_kind
+
+    ev = _events(spark, sf)
+    k = F.col("event_id")
+    kind = classify_partition_kind(
+        has_clustering_deletion=(k % 7 == 0),
+        is_view=(k % 11 == 0),
+        is_index=(k % 13 == 0),
+        is_counter=(k % 17 == 0),
+        is_partition_deletion=(k % 3 == 0),
+    )
+    return ev.select("event_id", kind.alias("partition_kind"))
+
+
 def q_t2_row_classifier(spark, sf):
     """T1/T2 — row-mutation classification from liveness/deletion
     timestamps (CommitLogReadHandlerImpl.java:141-202 semantics), driven
@@ -500,6 +519,7 @@ QUERIES = {
     "s1_snapshot_read": q_s1_snapshot_read,
     "s3_segment_order": q_s3_segment_order,
     "s7_ddl_parse": q_s7_ddl_parse,
+    "t1_partition_classifier": q_t1_partition_classifier,
     "t2_row_classifier": q_t2_row_classifier,
     "t5_ttl_deletion_ts": q_t5_ttl_deletion_ts,
     "t6_field_blacklist": q_t6_field_blacklist,
@@ -611,6 +631,20 @@ ORACLES = {
                       ELSE 'decimal(' || p || ',0)' END
                END AS dtype
         FROM g
+    """,
+    # PartitionType.getPartitionType precedence: COUNTER > MATERIALIZED_VIEW
+    # > SECONDARY_INDEX > partition+clustering deletion > partition deletion
+    # > row-level modification
+    "t1_partition_classifier": """
+        SELECT event_id,
+               CASE WHEN event_id % 17 = 0 THEN 'COUNTER'
+                    WHEN event_id % 11 = 0 THEN 'MATERIALIZED_VIEW'
+                    WHEN event_id % 13 = 0 THEN 'SECONDARY_INDEX'
+                    WHEN event_id % 3 = 0 AND event_id % 7 = 0
+                         THEN 'PARTITION_AND_CLUSTERING_KEY_ROW_DELETION'
+                    WHEN event_id % 3 = 0 THEN 'PARTITION_KEY_ROW_DELETION'
+                    ELSE 'ROW_LEVEL_MODIFICATION' END AS partition_kind
+        FROM events
     """,
     "t2_row_classifier": """
         SELECT event_id,

@@ -357,6 +357,8 @@ def simhash_near_dups(
     is exactly every pair with simhash-hamming ≤ max_hamming (this is
     what makes the portable-hash variant oracle-checkable as an equality
     against an all-pairs DuckDB popcount)."""
+    from pyspark import StorageLevel
+
     width = bits // bands
     token_hash = token_hash or (lambda t: F.xxhash64(t))
     toks = df.select(F.col(id_col).alias("id"), _tokens(F.col(text_col)).alias("__tk"))
@@ -365,9 +367,11 @@ def simhash_near_dups(
         F.transform(F.col("__tk"), token_hash).alias("__hs"),
         F.size(F.col("__tk")).cast("long").alias("__n"),
     )
+    # both sides of the chunk self-join read the fingerprints — persist
+    # the slim (id, long) rows so the tokenize+fold pipeline runs once
     sh = hashed.select(
         "id", _simhash_from_hashes(F.col("__hs"), F.col("__n"), bits).alias("simhash")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     chunks = sh.select(
         "id",
         "simhash",

@@ -89,13 +89,43 @@ def _hyperplane(dim: int, plane: int, seed: int) -> list[float]:
 
 
 def rp_bucket(vec: Column, planes: list[list[float]]) -> Column:
-    """Random-projection sign bucket: bit i = sign(v · h_i)."""
+    """Random-projection sign bucket: bit i = sign(v · h_i). Literal
+    form — fine for a handful of planes; the batch operators below carry
+    planes as a broadcast ARRAY column instead (rp_bucket_from_planes),
+    because dim×planes×tables inlined literals blow up the plan (measured
+    multi-second codegen at 2×8×64)."""
     bucket = F.lit(0).cast("long")
     for i, p in enumerate(planes):
         arr = F.array(*[F.lit(float(x)) for x in p])
         bit = F.when(_dot(vec, arr) > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         bucket = bucket + F.shiftleft(bit, i)
     return bucket
+
+
+def rp_bucket_from_planes(vec: Column, planes_col: Column, n_planes: int) -> Column:
+    """Sign bucket where the hyperplanes ride a column
+    (array<array<double>>, one entry per plane): bit i = sign(v · h_i),
+    summed as distinct powers of two. Bit-identical to rp_bucket for the
+    same plane values (same left-fold dot order)."""
+    p2 = F.array(*[F.lit(1 << i).cast("long") for i in range(n_planes)])
+    bits = F.transform(
+        F.sequence(F.lit(0), F.lit(n_planes - 1)),
+        lambda i: F.when(
+            _dot(vec, F.element_at(planes_col, i + 1)) > 0,
+            F.element_at(p2, i + 1),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(bits, F.lit(0).cast("long"), lambda a, v: a + v)
+
+
+def _planes_row(spark, tables: list[tuple[int, list[list[float]]]]):
+    """One-row DataFrame carrying every table's hyperplanes as
+    array<array<array<double>>> (indexed [table+1][plane+1][dim]) — a
+    single broadcast instead of thousands of plan literals."""
+    payload = [[p for p in planes] for _, planes in tables]
+    return spark.createDataFrame(
+        [(payload,)], "__pl array<array<array<double>>>"
+    )
 
 
 def embedding_near_dups(
@@ -128,21 +158,30 @@ def embedding_near_dups(
     c = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("va"))
     d = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("vb"))
     if mode == "lsh":
+        from pyspark import StorageLevel
+
         tables = [
             (t, [_hyperplane(dim, t * n_planes + i, seed) for i in range(n_planes)])
             for t in range(n_tables)
         ]
-        parts = []
-        for t, planes in tables:
-            parts.append(
-                c.select(
-                    "id_a", "va", F.lit(t).alias("table"),
-                    rp_bucket(F.col("va"), planes).alias("bucket"),
+        planes_row = F.broadcast(_planes_row(corpus.sparkSession, tables))
+        withp = c.crossJoin(planes_row)
+        cb = withp.select(
+            "id_a", "va",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(n_tables - 1)),
+                    lambda t: F.struct(
+                        t.alias("table"),
+                        rp_bucket_from_planes(
+                            F.col("va"), F.element_at(F.col("__pl"), t + 1), n_planes
+                        ).alias("bucket"),
+                    ),
                 )
-            )
-        cb = parts[0]
-        for p in parts[1:]:
-            cb = cb.unionByName(p)
+            ).alias("tb"),
+        ).select("id_a", "va", F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
+        # both sides of the bucket self-join read the bucketed corpus
+        cb = cb.persist(StorageLevel.MEMORY_AND_DISK)
         cands = (
             cb.alias("x")
             .join(cb.alias("y"), ["table", "bucket"])
@@ -330,22 +369,28 @@ def lsh_ann_topk(
     for t in range(n_tables):
         planes = [_hyperplane(dim, t * n_planes + i, seed) for i in range(n_planes)]
         tables.append((t, planes))
+    planes_row = F.broadcast(_planes_row(corpus.sparkSession, tables))
 
     def with_buckets(df, idn, vecn):
-        parts = []
-        for t, planes in tables:
-            parts.append(
-                df.select(
-                    F.col(id_col).alias(idn),
-                    F.col(vec_col).alias(vecn),
-                    F.lit(t).alias("table"),
-                    rp_bucket(F.col(vec_col), planes).alias("bucket"),
+        # one broadcast planes row + a posexplode over tables — keeps the
+        # plan free of dim×planes×tables literals (measured multi-second
+        # codegen in the literal form)
+        withp = df.crossJoin(planes_row)
+        return withp.select(
+            F.col(id_col).alias(idn),
+            F.col(vec_col).alias(vecn),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(n_tables - 1)),
+                    lambda t: F.struct(
+                        t.alias("table"),
+                        rp_bucket_from_planes(
+                            F.col(vec_col), F.element_at(F.col("__pl"), t + 1), n_planes
+                        ).alias("bucket"),
+                    ),
                 )
-            )
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
+            ).alias("tb"),
+        ).select(idn, vecn, F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
 
     cb = with_buckets(corpus, "neighbor_id", "c_vec")
     qb = with_buckets(queries, "query_id", "q_vec")
