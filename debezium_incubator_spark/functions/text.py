@@ -109,19 +109,47 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 @pandas_udf(T.LongType())
 def rolling_fingerprint(s: pd.Series) -> pd.Series:
-    """Polynomial rolling hash of the whole document (Karp-Rabin style),
-    Arrow-vectorized. Python loop is per-document, not per-row-per-op —
-    and runs over numpy byte arrays."""
-    MOD = (1 << 61) - 1
+    """Polynomial (Karp-Rabin) document fingerprint, NUMPY-vectorized.
+
+    fp = Σ byte_i · BASE^(n-1-i) (mod p) evaluated as a vectorized
+    power-sum — no per-byte Python loop. Computed independently under two
+    Mersenne-31 moduli and packed into one 62-bit long (single-modulus
+    31-bit would collide too easily for a dedup pre-filter). byte·P < 2^39
+    and partial sums of ≤2^24 terms stay inside uint64, so the arithmetic
+    is exact; longer documents reduce chunk-wise."""
+    import numpy as np
+
+    P1, P2 = (1 << 31) - 1, (1 << 29) - 3
     BASE = 1_000_003
+    CHUNK = 1 << 24
+
+    pows: dict[int, np.ndarray] = {P1: np.array([1], dtype=np.uint64),
+                                   P2: np.array([1], dtype=np.uint64)}
+
+    def powers(p: int, n: int) -> np.ndarray:
+        cur = pows[p]
+        if len(cur) < n:
+            ext = [int(cur[-1])]
+            for _ in range(n - len(cur)):
+                ext.append(ext[-1] * BASE % p)
+            cur = np.concatenate([cur[:-1], np.array(ext, dtype=np.uint64)])
+            pows[p] = cur
+        return cur
+
+    def fp_mod(b: np.ndarray, p: int) -> int:
+        n = len(b)
+        P = powers(p, n)[:n][::-1]
+        acc = 0
+        for i in range(0, n, CHUNK):
+            terms = (b[i : i + CHUNK] * P[i : i + CHUNK]) % p
+            acc = (acc + int(terms.sum())) % p
+        return acc
 
     def fp(v):
         if v is None:
             return None
-        acc = 0
-        for x in v.encode("utf-8"):
-            acc = (acc * BASE + x) % MOD
-        return acc
+        b = np.frombuffer(v.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+        return (fp_mod(b, P1) << 31) | fp_mod(b, P2)
 
     return s.map(fp)
 
