@@ -24,6 +24,7 @@ class ParquetChangelog:
     def __init__(self, path: str, schema=None):
         self.path = path
         self.schema = schema
+        self._max_offset: int | None = None
 
     def read(self, spark: SparkSession) -> DataFrame:
         r = spark.read
@@ -31,9 +32,49 @@ class ParquetChangelog:
             r = r.schema(self.schema)
         return r.parquet(self.path)
 
-    def max_offset(self, spark: SparkSession) -> int:
-        row = self.read(spark).agg(F.max("offset")).first()
-        return -1 if row[0] is None else int(row[0])
+    def max_offset(self, spark: SparkSession, refresh: bool = False) -> int:
+        """Top offset of the log, from parquet FOOTER statistics (a
+        driver-side metadata walk — milliseconds — instead of a full
+        column-scan Spark job; the reference likewise orders segments by
+        file metadata, CommitLogUtil.java:67-103). Cached: a changelog
+        instance models one immutable snapshot of the directory — pass
+        ``refresh=True`` (or construct anew) after files are appended.
+        Falls back to the Spark aggregate if any footer lacks stats."""
+        if self._max_offset is not None and not refresh:
+            return self._max_offset
+        top = self._footer_max_offset()
+        if top is None:
+            row = self.read(spark).agg(F.max("offset")).first()
+            top = -1 if row[0] is None else int(row[0])
+        self._max_offset = top
+        return top
+
+    def _footer_max_offset(self) -> int | None:
+        import os
+
+        import pyarrow.parquet as pq
+
+        top = None
+        try:
+            names = [
+                fn for fn in os.listdir(self.path) if fn.endswith(".parquet")
+            ]
+            if not names:
+                return None
+            for fn in names:
+                meta = pq.ParquetFile(os.path.join(self.path, fn)).metadata
+                for rg in range(meta.num_row_groups):
+                    rgm = meta.row_group(rg)
+                    for ci in range(rgm.num_columns):
+                        col = rgm.column(ci)
+                        if col.path_in_schema == "offset":
+                            if col.statistics is None or not col.statistics.has_min_max:
+                                return None
+                            m = int(col.statistics.max)
+                            top = m if top is None else max(top, m)
+        except OSError:
+            return None
+        return top
 
     def range(self, spark: SparkSession, start_exclusive: int, end_inclusive: int) -> DataFrame:
         """Events with offset ∈ (start, end] — pushed-down scan predicate
