@@ -63,7 +63,7 @@ from debezium_incubator_spark.plans.pipeline import CDCEngine
 from debezium_incubator_spark.sources.changelog import ParquetChangelog
 
 cores = int(sys.argv[1]); tmpl = sys.argv[2]; log_p = sys.argv[3]
-nb = int(sys.argv[4]); ope = int(sys.argv[5])
+nb = int(sys.argv[4]); ope = int(sys.argv[5]); warm = int(sys.argv[6])
 # shuffle + table I/O on tmpfs, and heap scaled with cores: on a real
 # cluster 4N executors bring 4N disks and 4N memory; a fixed heap would
 # make the 4N level GC-bound by construction
@@ -82,6 +82,12 @@ eng = CDCEngine(spark, f"{base}/t", f"{base}/c", num_buckets=nb)
 # measured: steady-state CDC apply of the whole changelog, epoch by
 # epoch — per-epoch walls expose the host's intra-run CPU throttling
 log = ParquetChangelog(log_p)
+if warm > 0:
+    # untimed warm-up slice, identical at both levels: first epochs pay
+    # JIT compilation (whose compiler threads share the pinned cores —
+    # measured ~1.9x on epoch 1 at BOTH levels); steady state is the
+    # number that predicts a long-running ingest
+    eng.run(log, offsets_per_epoch=warm, max_epochs=1)
 epochs = []
 t_all = time.time()
 while True:
@@ -122,10 +128,11 @@ def run_at(cores: int, tmpl: str, log_p: str, nb: int, ope: int) -> dict:
     # Without it, local[1]'s JVM thread and its Python worker overlap on
     # two physical cores and inflate the N-level baseline.
     cpu_mask = f"0-{cores - 1}" if cores > 1 else "0"
+    warm = int(os.environ.get("SCALING_WARMUP_OFFSETS", "0"))
     out = subprocess.run(
         ["taskset", "-c", cpu_mask, sys.executable, "-c",
          RUNNER.replace("@REPO@", REPO), str(cores), tmpl, log_p,
-         str(nb), str(ope)],
+         str(nb), str(ope), str(warm)],
         capture_output=True, text=True, timeout=1800,
     )
     line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
