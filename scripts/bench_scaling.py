@@ -259,8 +259,12 @@ pre-bootstrapped table copy, so epochs are comparable across runs.
 Job: steady-state CDC apply — stream epochs (offset-range micro-batches)
 → envelope unwrap + normalization + fingerprint → LWW dedup → bucketed
 copy-on-write merge — {hi['events']} change events applied onto a
-snapshotted 400k-key table (the one-time snapshot bootstrap is excluded
-from the timed window at both levels). Identical inputs and code at both
+snapshotted 400k-key table. Excluded identically at both levels: the
+one-time snapshot bootstrap (runs consume byte-identical copies of one
+pre-bootstrapped table) and, when SCALING_WARMUP_OFFSETS is set, an
+untimed warm-up epoch — first epochs pay JIT compilation whose compiler
+threads share the pinned cores (measured ~1.9× on epoch 1 at BOTH
+levels); steady state is what predicts a long-running ingest. Identical inputs and code at both
 parallelism levels; `local[{N_CORES}]` vs `local[{FOURN_CORES}]`,
 `spark.sql.shuffle.partitions` = core count, heap and scratch space
 scaled with cores (a real 4N-executor cluster brings 4N memory/disks).
