@@ -413,6 +413,37 @@ def q_ngram_jaccard_dups(spark, sf):
     return ngram_jaccard_pairs(_docs(spark, sf), threshold=0.5)
 
 
+def q_hash_split(spark, sf):
+    """Deterministic train/val/test assignment (pure function of id+seed;
+    reproducible across engines — the oracle re-derives the md5 buckets)."""
+    from debezium_incubator_spark.functions.sampling import hash_split
+
+    return hash_split(
+        _docs(spark, sf), {"train": 0.9, "val": 0.05, "test": 0.05}
+    ).select("doc_id", "split")
+
+
+def q_stratified_sample(spark, sf):
+    """Per-stratum (language) deterministic rate sampling — scan+filter,
+    no shuffle, exact reproducibility."""
+    from debezium_incubator_spark.functions.sampling import stratified_sample
+
+    out = stratified_sample(
+        _docs(spark, sf), {"en": 0.5, "de": 1.0}, stratum_col="lang", default_rate=0.25
+    )
+    return out.select("doc_id", "lang")
+
+
+def q_ngram_contamination(spark, sf):
+    """Benchmark decontamination: training docs sharing ≥1 distinct
+    8-gram with the held-out benchmark slice (doc_id % 25 == 0)."""
+    from debezium_incubator_spark.functions.sampling import ngram_contamination
+
+    docs = _docs(spark, sf)
+    bench = docs.filter(F.col("doc_id") % 25 == 0)
+    return ngram_contamination(docs, bench, n=8)
+
+
 def q_knn_cosine(spark, sf):
     emb = _emb(spark, sf).withColumn(
         "embedding", F.col("embedding").cast("array<double>")
@@ -534,6 +565,9 @@ QUERIES = {
     "quality_score": q_quality_score,
     "lang_id": q_lang_id,
     "ngram_jaccard_dups": q_ngram_jaccard_dups,
+    "hash_split": q_hash_split,
+    "stratified_sample": q_stratified_sample,
+    "ngram_contamination": q_ngram_contamination,
     "knn_cosine": q_knn_cosine,
     "embedding_near_dups": q_embedding_near_dups,
     "minhash_lsh_dups": q_minhash_lsh_dups,
@@ -817,6 +851,46 @@ ORACLES["lang_id"] = _langid_sql()
 # MinHash-LSH: equality against the EXACT Jaccard set (recall-1 argument
 # in q_minhash_lsh_dups' docstring) — same SQL as ngram_jaccard_dups.
 ORACLES["minhash_lsh_dups"] = ORACLES["ngram_jaccard_dups"]
+
+# md5-derived split bucket: b = ('0x'||substr(md5('42|'||id),17,14)) % 10000;
+# thresholds from normalized weights 0.9/0.05/0.05 → 9000, 9500
+ORACLES["hash_split"] = """
+    WITH b AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('42|' || doc_id::VARCHAR), 17, 14))::BIGINT % 10000 AS bk
+      FROM documents)
+    SELECT doc_id,
+           CASE WHEN bk < 9000 THEN 'train'
+                WHEN bk < 9500 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+"""
+
+ORACLES["stratified_sample"] = """
+    WITH b AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5('42|' || doc_id::VARCHAR), 17, 14))::BIGINT % 10000 AS bk
+      FROM documents)
+    SELECT doc_id, lang FROM b
+    WHERE bk < (CASE lang WHEN 'de' THEN 1.0 WHEN 'en' THEN 0.5 ELSE 0.25 END) * 10000
+"""
+
+ORACLES["ngram_contamination"] = """
+    WITH toks AS (
+      SELECT doc_id,
+             string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
+      FROM documents
+      WHERE length(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) > 0),
+    g AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(t) - 6),
+                 i -> array_to_string(list_slice(t, i, i + 7), ' ')))) AS gram
+      FROM toks WHERE len(t) >= 8),
+    bench AS (SELECT DISTINCT gram, doc_id AS bench_id FROM g WHERE doc_id % 25 = 0)
+    SELECT g.doc_id AS train_id, bench.bench_id, count(DISTINCT gram) AS shared_grams
+    FROM g JOIN bench USING (gram)
+    GROUP BY 1, 2
+"""
 
 
 def _simhash_sql(bits: int = 56, max_hamming: int = 7) -> str:
