@@ -49,6 +49,8 @@ BENCH_QUERIES = [
     "knn_cosine",
     "ann_lsh_topk",
     "multimodal_features",
+    "hash_split",
+    "ngram_contamination",
     "quality_score",
 ]
 
