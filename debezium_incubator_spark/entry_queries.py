@@ -506,10 +506,15 @@ def q_multimodal_features(spark, sf):
     return extract_features(packed).select("doc_id", "feature_norm")
 
 
-# fixed path shared with the DuckDB oracle (read_parquet over the same
-# files the engine consumed); contents are a pure function of seed 42,
-# so a stale copy from a previous run is byte-identical
-CDC_REPLAY_ORACLE_DIR = "/tmp/cdc_replay_oracle"
+# path shared with the DuckDB oracle (read_parquet over the same files
+# the engine consumed); uid-scoped so concurrent users on one host don't
+# collide, and stable WITHIN a process so the query (writer) and the
+# generated oracle SQL (reader) always agree. Row contents are a pure
+# function of seed 42, so a stale copy from an earlier run of the same
+# uid is row-identical.
+import os as _os
+
+CDC_REPLAY_ORACLE_DIR = f"/tmp/cdc_replay_oracle_{_os.getuid()}"
 
 
 def q_cdc_pipeline_replay(spark, sf):
@@ -915,10 +920,14 @@ def _simhash_sql(bits: int = 56, max_hamming: int = 7) -> str:
           FROM h GROUP BY doc_id),
         sim AS (SELECT doc_id, ({fold})::BIGINT AS s FROM votes),
         sim_all AS (
+          -- zero-token (but NON-NULL) texts get simhash 0, matching the
+          -- Spark side; NULL texts propagate null there and drop out of
+          -- the band join entirely, so they must NOT be backfilled
           SELECT doc_id, s FROM sim
           UNION ALL
           SELECT doc_id, 0::BIGINT AS s FROM documents
-          WHERE doc_id NOT IN (SELECT doc_id FROM sim))
+          WHERE text IS NOT NULL
+            AND doc_id NOT IN (SELECT doc_id FROM sim))
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                bit_count(xor(a.s, b.s))::INT AS hamming
         FROM sim_all a JOIN sim_all b ON a.doc_id < b.doc_id

@@ -69,6 +69,14 @@ def _ident(s: str) -> str:
     return s.upper()
 
 
+def _qualified(s: str) -> str:
+    """Fold a possibly schema-qualified name part by part, so
+    '"MySchema"."MyTable"' → 'MySchema.MyTable' (a whole-string _ident
+    would strip only the outermost quote pair)."""
+    parts = re.findall(_IDENT, s)
+    return ".".join(_ident(p) for p in parts)
+
+
 def _split_top(body: str) -> list[str]:
     """Split on commas at paren depth 0, respecting quoted strings."""
     out, depth, cur, in_str = [], 0, [], False
@@ -145,7 +153,7 @@ def parse_ddl(statement: str) -> list[dict]:
     stmt = statement.strip().rstrip(";").strip()
     m = _CREATE_RE.match(statement)
     if m:
-        table = _ident(re.sub(r"\s*\.\s*", ".", m.group("table")))
+        table = _qualified(m.group("table"))
         cols, pk = [], []
         for item in _split_top(m.group("body")):
             pkm = re.match(r"^PRIMARY\s+KEY\s*\(([^)]*)\)$", item, re.IGNORECASE)
@@ -162,10 +170,10 @@ def parse_ddl(statement: str) -> list[dict]:
         ]
     m = _DROP_TABLE_RE.match(stmt)
     if m:
-        return [{"action": "drop_table", "table": _ident(re.sub(r"\s*\.\s*", ".", m.group("table")))}]
+        return [{"action": "drop_table", "table": _qualified(m.group("table"))}]
     m = _ALTER_RE.match(statement)
     if m:
-        table = _ident(re.sub(r"\s*\.\s*", ".", m.group("table")))
+        table = _qualified(m.group("table"))
         rest = m.group("rest").strip().rstrip(";").strip()
         am = re.match(r"^ADD\s*(?:COLUMN\s+)?\((?P<body>.*)\)$", rest, re.IGNORECASE | re.DOTALL)
         if am:

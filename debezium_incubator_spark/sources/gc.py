@@ -23,6 +23,7 @@ def expire_changelog_files(
     num_buckets: int,
     mode: str = "archive",  # archive | delete
     counters: dict | None = None,
+    error_grace_s: float = 60.0,
 ) -> list[str]:
     """Move/delete fully-processed changelog parquet files. Conservative:
     requires marks for all buckets (otherwise nothing is eligible).
@@ -31,6 +32,10 @@ def expire_changelog_files(
     counted — the reference's EOF-failure path puts the segment in
     error/, not archive/ (QueueProcessor.java:98-102); the old behavior
     here (skip silently, forever) hid the failure from operators.
+    ``error_grace_s`` protects a segment still being WRITTEN (its footer
+    lands last): an unreadable file younger than the grace is skipped
+    this pass and re-probed next time, so a transient mid-write state is
+    never promoted to a permanent error.
     Pass a ``counters`` dict to receive {"archived": n, "errors": n}."""
     import pyarrow.parquet as pq
 
@@ -60,8 +65,15 @@ def expire_changelog_files(
             if max_off is None:
                 continue
         except Exception:
+            import time
             import warnings
 
+            try:
+                age = time.time() - os.path.getmtime(path)
+            except OSError:
+                continue
+            if age < error_grace_s:
+                continue  # possibly mid-write: re-probe next pass
             os.makedirs(error_dir, exist_ok=True)
             shutil.move(path, os.path.join(error_dir, fn))
             counters["errors"] += 1

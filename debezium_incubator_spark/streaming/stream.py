@@ -54,7 +54,11 @@ class StreamingCDC:
         n, lo, top = batch_df.agg(
             F.count(F.lit(1)), F.min("offset"), F.max("offset")
         ).first()
-        ckpt = self.engine.store.latest()
+        # RECONCILED position: after a crash between commit and
+        # checkpoint the manifest chain is ahead of the checkpoint file —
+        # reading store.latest() raw would regress stream_pos on the next
+        # heartbeat/batch and re-scan an already-applied range
+        ckpt = self.engine._reconcile(self.engine.store.latest())
         last = int(ckpt.get("stream_pos", -1))
         if n == 0:
             # K5 heartbeat parity with the batch loop: an idle trigger

@@ -113,13 +113,22 @@ spark.stop()
 """
 
 
+def _json_line(out: subprocess.CompletedProcess, what: str) -> str:
+    lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+    if out.returncode != 0 or not lines:
+        raise RuntimeError(
+            f"{what} failed (rc={out.returncode}); stderr tail:\n"
+            + "\n".join(out.stderr.strip().splitlines()[-15:])
+        )
+    return lines[-1]
+
+
 def bootstrap_template(src_p: str, nb: int, tmpl: str) -> None:
     out = subprocess.run(
         [sys.executable, "-c", BOOTSTRAPPER.replace("@REPO@", REPO), src_p, str(nb), tmpl],
         capture_output=True, text=True, timeout=1800,
     )
-    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-    print(line)
+    print(_json_line(out, "bootstrap_template"))
 
 
 def run_at(cores: int, tmpl: str, log_p: str, nb: int, ope: int) -> dict:
@@ -135,8 +144,7 @@ def run_at(cores: int, tmpl: str, log_p: str, nb: int, ope: int) -> dict:
          str(nb), str(ope), str(warm)],
         capture_output=True, text=True, timeout=1800,
     )
-    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    return json.loads(_json_line(out, f"run_at(cores={cores})"))
 
 
 def main():
@@ -174,8 +182,11 @@ def main():
     print(json.dumps({"cpu_probe_units_per_sec": calib, "hw_efficiency": round(hw_eff, 3)}))
 
     # one-time: pre-bootstrapped table template (snapshot load is not
-    # throughput; every run at every level copies the same bytes in)
-    tmpl = "/dev/shm/cdc_scaling_template"
+    # throughput; every run at every level copies the same bytes in).
+    # Keyed by the input tag + bucket count — a fixed path would silently
+    # serve a stale template when sf/num_buckets change between runs.
+    tag = os.path.basename(os.path.dirname(src_p))
+    tmpl = f"/dev/shm/cdc_scaling_template_{tag}_nb{nb}"
     if not os.path.exists(f"{tmpl}/c"):
         bootstrap_template(src_p, nb, tmpl)
 

@@ -71,6 +71,11 @@ def main():
         t0 = time.time()
         try:
             got = fn(spark, sf).toPandas()
+            # the dedup/ANN operators persist slim self-join inputs;
+            # those cache entries are plan-keyed and live until the
+            # session ends — release them between queries so a 35-query
+            # session doesn't accumulate /dev/shm-backed blocks
+            spark.catalog.clearCache()
         except Exception as e:
             failures.append((name, f"SPARK ERROR: {e}"))
             print(f"✗ {name}: spark error: {e}")

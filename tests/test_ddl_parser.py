@@ -118,6 +118,10 @@ def test_parse_rename_and_unsupported():
 
 
 def test_quoted_identifiers_preserve_case():
+    # quoted QUALIFIED names fold per part (whole-string stripping would
+    # leave embedded quotes: 'MySchema"."MyTable')
+    (a,) = parse_ddl('ALTER TABLE "MySchema"."MyTable" DROP COLUMN c;')
+    assert a["table"] == "MySchema.MyTable" and a["name"] == "C"
     (a,) = parse_ddl('ALTER TABLE t ADD ("mixedCase" number(2));')
     assert a["name"] == "mixedCase" and a["dtype"] == "tinyint"
     (a,) = parse_ddl('ALTER TABLE t ADD ("mixedCase" number(3));')

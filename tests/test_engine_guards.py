@@ -171,12 +171,20 @@ def test_corrupt_changelog_segment_goes_to_error_dir(spark, tmp_path):
     shutil.move(str(real), str(d / "seg0.parquet"))
     shutil.rmtree(str(d / "seg0"))
     (d / "corrupt.parquet").write_bytes(b"not a parquet file")
-    counters = {}
+    # grace protects mid-write segments: the freshly-planted corrupt file
+    # is skipped on the first pass (the good segment archives normally)
+    c1 = {}
     moved = expire_changelog_files(
-        str(d), {"0": 100, "1": 100}, num_buckets=2, counters=counters
+        str(d), {"0": 100, "1": 100}, num_buckets=2, counters=c1
     )
-    assert moved == ["seg0.parquet"]
-    assert counters == {"archived": 1, "errors": 1}
+    assert moved == ["seg0.parquet"] and c1 == {"archived": 1, "errors": 0}
+    assert not (d / "_error").exists()
+    # ...and moved to _error/ once older than the grace
+    c2 = {}
+    expire_changelog_files(
+        str(d), {"0": 100, "1": 100}, num_buckets=2, counters=c2, error_grace_s=0.0
+    )
+    assert c2 == {"archived": 0, "errors": 1}
     assert (d / "_error" / "corrupt.parquet").exists()
     assert (d / "_archive" / "seg0.parquet").exists()
 
