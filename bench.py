@@ -134,6 +134,9 @@ def main():
         n = qs[name](spark, sf_dir).count()
         q_times[name] = round(time.time() - t0, 3)
         _ = n
+        # release plan-keyed persists so each query is timed from a
+        # clean cache and blocks don't accumulate across the suite
+        spark.catalog.clearCache()
 
     out = {
         "metric": "cdc_apply_e2e",

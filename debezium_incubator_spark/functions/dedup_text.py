@@ -37,20 +37,31 @@ def _tokens(text: Column) -> Column:
 
 
 def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles from a MATERIALIZED token array.
+    """Distinct word n-gram shingles from a token array, built as
+    zip_with chains over shifted slices — NO per-element references back
+    to ``toks``.
 
-    ``toks`` must be a plain column reference (not the inline ``_tokens``
-    expression): each ``element_at`` inside the transform lambda
-    re-evaluates its argument, so an inline tokenizer would re-run the
-    regex+split over the full text ~3×per shingle — measured 6× slower
-    end-to-end. Callers project ``_tokens`` into a column first."""
-    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    grams = F.transform(
-        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)])
-    )
-    # sequence(1, k) is DESCENDING for k<1 — guard short docs explicitly
+    Why this shape: Catalyst re-inlines projected expressions when it
+    moves predicates (CollapseProject/PushDownPredicates), and
+    InferFiltersFromGenerate plants an implicit `size(...) > 0` filter
+    under every explode of this expression — there is no way to stop the
+    tokenizer from being re-evaluated inside pushed-down copies. The old
+    `transform(sequence, i -> element_at(toks, i+j))` form re-evaluated
+    its ARGUMENT (potentially the whole tokenize pipeline) once per
+    element per n — measured as a 40+ s single-task pre-shuffle Filter
+    at sf0.1. Here each re-evaluation costs n slices + n−1 zip_with over
+    the array — O(n·tokens) total, safe to inline anywhere.
+
+    zip_with pads the shorter side with nulls (concat_ws skips them), so
+    the trailing partial grams are sliced off at the end; the size<n
+    guard costs one more cheap re-evaluation at worst."""
+    grams = toks
+    for j in range(1, n):
+        shifted = F.slice(toks, j + 1, F.greatest(F.size(toks) - j, F.lit(1)))
+        grams = F.zip_with(grams, shifted, lambda a, b: F.concat_ws(" ", a, b))
+    full = F.slice(grams, 1, F.size(toks) - (n - 1))
     return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
-        F.array_distinct(grams)
+        F.array_distinct(full)
     )
 
 
