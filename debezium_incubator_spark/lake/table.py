@@ -376,6 +376,30 @@ class LakeTable:
         fields = [dict(f) for f in self.current_fields(m) if f["name"] != name]
         return self.commit_schema_change(fields)
 
+    def modify_column(self, name: str, dtype: str) -> int:
+        """Type change (widening), metadata-only: the field id keeps its
+        identity; old data files are cast to the current type at read
+        time by the field-id mapping (same mechanism as renames). The
+        reference leaves ALTER ... MODIFY as a TODO (warn+skip) — this
+        exceeds parity because type widening is routine in real CDC
+        streams. Narrowing is refused: old files would fail the cast."""
+        import pyspark.sql.types as T
+
+        old = {f["name"]: f["type"] for f in self.current_fields()}
+        if name not in old:
+            raise ValueError(f"no such column: {name}")
+        _WIDEN_ORDER = ["tinyint", "smallint", "int", "bigint", "float", "double"]
+        o, n = old[name], T._parse_datatype_string(dtype).simpleString()
+        if o != n and o in _WIDEN_ORDER and n in _WIDEN_ORDER:
+            if _WIDEN_ORDER.index(n) < _WIDEN_ORDER.index(o):
+                raise ValueError(f"narrowing {name}: {o} -> {n} would corrupt old files")
+        m = self.manifest()
+        fields = [dict(f) for f in self.current_fields(m)]
+        for f in fields:
+            if f["name"] == name:
+                f["type"] = n
+        return self.commit_schema_change(fields)
+
     def _publish(self, manifest: dict) -> None:
         _atomic_write(
             os.path.join(self.meta_dir, f"v{manifest['version']:05d}.json"),

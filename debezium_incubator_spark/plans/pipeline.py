@@ -380,6 +380,8 @@ class CDCEngine:
                 self.rename_column(r["name"], r["new_name"])
             elif action == "drop_column":
                 self.table.drop_column(r["name"])
+            elif action == "modify_column":
+                self.table.modify_column(r["name"], r.get("dtype", "string"))
             else:
                 # create_table/drop_table arrive pre-provisioning; anything
                 # else is the reference's warn-and-continue path

@@ -211,6 +211,15 @@ def parse_ddl(statement: str) -> list[dict]:
         dm = re.match(rf"^DROP\s+COLUMN\s+(?P<col>{_IDENT})$", rest, re.IGNORECASE)
         if dm:
             return [{"action": "drop_column", "table": table, "name": _ident(dm.group("col"))}]
+        mm = re.match(r"^MODIFY\s+(?:COLUMN\s+)?(?P<def>.+)$", rest, re.IGNORECASE | re.DOTALL)
+        if mm:
+            # type change (the reference's OracleDdlParserTest leaves
+            # MODIFY as a todo; we parse + apply widenings — see
+            # LakeTable.modify_column)
+            cd = _parse_coldef(mm.group("def"), table)
+            if cd:
+                cd["action"] = "modify_column"
+                return [cd]
         return [{"action": "unsupported", "table": table, "text": stmt}]
     return [{"action": "unsupported", "table": None, "text": stmt}]
 

@@ -106,13 +106,16 @@ def test_parse_rename_and_unsupported():
         "name": "LANG",
         "new_name": "LANGUAGE",
     }
-    # the reference's trailing todo statements: constraints / MODIFY
+    # constraints stay unsupported (reference todo); MODIFY we parse and
+    # apply as a widening (exceeds parity — OracleDdlParserTest todo)
     (a,) = parse_ddl(
         "ALTER TABLE DEBEZIUM ADD CONSTRAINT FK FOREIGN KEY (col1) REFERENCES r(ID);"
     )
     assert a["action"] == "unsupported"
     (a,) = parse_ddl("ALTER TABLE DEBEZIUM MODIFY COL1 varchar2(50) not null;")
-    assert a["action"] == "unsupported"
+    assert (a["action"], a["name"], a["dtype"], a["nullable"]) == (
+        "modify_column", "COL1", "string", False,
+    )
     (a,) = parse_ddl("GRANT SELECT ON DEBEZIUM TO PUBLIC;")
     assert a["action"] == "unsupported"
 
@@ -149,9 +152,17 @@ def test_engine_applies_parsed_ddl(spark, tmp_path):
     assert fields["STARGAZERS".lower() if "stargazers" in fields else "STARGAZERS"]
     # identifier folding: engine columns are whatever the parser emitted
     assert "STARGAZERS" in fields and fields["STARGAZERS"] == "int"
+    # MODIFY widening applies end to end (int -> bigint, metadata-only)
+    n = eng.apply_ddl_statements(["ALTER TABLE repos.files MODIFY stargazers NUMBER(18,0);"])
+    assert n == 1
+    fields = {f["name"]: f["type"] for f in eng.table.current_fields()}
+    assert fields["STARGAZERS"] == "bigint"
+    # narrowing is refused
+    with pytest.raises(ValueError, match="narrowing"):
+        eng.apply_ddl_statements(["ALTER TABLE repos.files MODIFY stargazers NUMBER(3,0);"])
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
-        n = eng.apply_ddl_statements(["ALTER TABLE repos.files MODIFY x int;"])
+        n = eng.apply_ddl_statements(["GRANT SELECT ON repos.files TO PUBLIC;"])
     assert n == 0 and any("unsupported" in str(x.message) for x in w)
 
 
