@@ -148,39 +148,33 @@ class LakeTable:
     # ------------------------------------------------------------------ lock
     @contextmanager
     def _writer_lock(self):
+        """Single-writer exclusion via a kernel advisory lock (flock), the
+        same mechanism as the reference's java.nio FileLock
+        (FileOffsetWriter.java). A crashed writer's lock is released by
+        the kernel when its fd closes, so there is NO steal protocol and
+        no steal race (the previous pid-file scheme had a TOCTOU window
+        where two stealers of a dead writer's lock could both win).
+
+        The LOCK file is deliberately never unlinked: unlink+recreate is
+        the classic flock hazard (a waiter holding the old inode and a
+        creator of the new one would both "hold" the lock). The pid is
+        written for operator diagnostics only — liveness is the kernel's
+        job, not ours.
+        """
+        import fcntl
+
         lock = os.path.join(self.meta_dir, "LOCK")
+        fd = os.open(lock, os.O_CREAT | os.O_RDWR)
         try:
-            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
-            # steal only if the owning pid is dead (crash recovery);
-            # pid <= 0 means the previous writer died between creating the
-            # file and writing its pid — os.kill(0, 0) would signal OUR
-            # process group and always "succeed", wedging the lock forever
             try:
-                with open(lock) as f:
-                    pid = int(f.read().strip() or "0")
-                if pid <= 0:
-                    alive = False
-                else:
-                    os.kill(pid, 0)
-                    alive = True
-            except (ProcessLookupError, ValueError):
-                alive = False
-            except PermissionError:
-                alive = True
-            if alive:
+                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            except OSError:
                 raise ConcurrentWriteError(f"another writer holds {lock}")
-            os.unlink(lock)
-            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        try:
+            os.ftruncate(fd, 0)
             os.write(fd, str(os.getpid()).encode())
-            os.close(fd)
             yield
         finally:
-            try:
-                os.unlink(lock)
-            except FileNotFoundError:
-                pass
+            os.close(fd)  # releases the flock
 
     # ------------------------------------------------------------------ read
     def read(
@@ -382,17 +376,53 @@ class LakeTable:
         time by the field-id mapping (same mechanism as renames). The
         reference leaves ALTER ... MODIFY as a TODO (warn+skip) — this
         exceeds parity because type widening is routine in real CDC
-        streams. Narrowing is refused: old files would fail the cast."""
+        streams.
+
+        Only transitions that are LOSSLESS for every already-written
+        value are allowed (an explicit whitelist — under Spark 4 ANSI
+        mode any other read-time cast would either throw on old files or
+        silently change values):
+          * identical type;
+          * widening within the integer/float ladder;
+          * decimal(p1,s1) -> decimal(p2,s2) with s2 >= s1 and
+            p2-s2 >= p1-s1 (integer digits and scale both grow);
+          * integer family -> decimal with enough integer digits;
+          * date -> timestamp / timestamp_ntz;
+          * any type -> string (Spark's cast-to-string is total).
+        Everything else raises ValueError.
+        """
+        import re as _re
+
         import pyspark.sql.types as T
 
         old = {f["name"]: f["type"] for f in self.current_fields()}
         if name not in old:
             raise ValueError(f"no such column: {name}")
         _WIDEN_ORDER = ["tinyint", "smallint", "int", "bigint", "float", "double"]
+        _INT_DIGITS = {"tinyint": 3, "smallint": 5, "int": 10, "bigint": 19}
         o, n = old[name], T._parse_datatype_string(dtype).simpleString()
-        if o != n and o in _WIDEN_ORDER and n in _WIDEN_ORDER:
-            if _WIDEN_ORDER.index(n) < _WIDEN_ORDER.index(o):
-                raise ValueError(f"narrowing {name}: {o} -> {n} would corrupt old files")
+
+        def _dec(t: str) -> tuple[int, int] | None:
+            m = _re.fullmatch(r"decimal\((\d+),(\d+)\)", t)
+            return (int(m.group(1)), int(m.group(2))) if m else None
+
+        ok = o == n or n == "string"
+        if not ok and o in _WIDEN_ORDER and n in _WIDEN_ORDER:
+            ok = _WIDEN_ORDER.index(n) > _WIDEN_ORDER.index(o)
+        if not ok:
+            od, nd = _dec(o), _dec(n)
+            if od and nd:
+                ok = nd[1] >= od[1] and (nd[0] - nd[1]) >= (od[0] - od[1])
+            elif nd and o in _INT_DIGITS:
+                ok = (nd[0] - nd[1]) >= _INT_DIGITS[o]
+        if not ok and o == "date" and n in ("timestamp", "timestamp_ntz"):
+            ok = True
+        if not ok:
+            raise ValueError(
+                f"refusing type change {name}: {o} -> {n} is not a lossless "
+                f"widening (old data files would be corrupted or fail the "
+                f"ANSI read-time cast)"
+            )
         m = self.manifest()
         fields = [dict(f) for f in self.current_fields(m)]
         for f in fields:

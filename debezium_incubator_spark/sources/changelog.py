@@ -72,7 +72,10 @@ class ParquetChangelog:
                                 return None
                             m = int(col.statistics.max)
                             top = m if top is None else max(top, m)
-        except OSError:
+        except Exception:
+            # not just OSError: a corrupt or mid-write segment makes
+            # pyarrow raise ArrowInvalid — any unreadable footer means
+            # "fall back to the Spark aggregate", same as gc.py's probe
             return None
         return top
 

@@ -23,7 +23,7 @@ def expire_changelog_files(
     num_buckets: int,
     mode: str = "archive",  # archive | delete
     counters: dict | None = None,
-    error_grace_s: float = 60.0,
+    error_grace_s: float = 300.0,
 ) -> list[str]:
     """Move/delete fully-processed changelog parquet files. Conservative:
     requires marks for all buckets (otherwise nothing is eligible).
@@ -32,11 +32,17 @@ def expire_changelog_files(
     counted — the reference's EOF-failure path puts the segment in
     error/, not archive/ (QueueProcessor.java:98-102); the old behavior
     here (skip silently, forever) hid the failure from operators.
-    ``error_grace_s`` protects a segment still being WRITTEN (its footer
-    lands last): an unreadable file younger than the grace is skipped
-    this pass and re-probed next time, so a transient mid-write state is
-    never promoted to a permanent error.
+
+    Quarantine requires BOTH signals, so a writer merely stalled past
+    the grace never loses a segment it is still producing:
+      * the file was already unreadable on a PREVIOUS GC pass
+        (first-seen timestamps persisted in ``_gc_state.json`` — a
+        single transient mid-write observation never quarantines);
+      * the first unreadable sighting is older than ``error_grace_s``.
     Pass a ``counters`` dict to receive {"archived": n, "errors": n}."""
+    import json
+    import time
+
     import pyarrow.parquet as pq
 
     counters = counters if counters is not None else {}
@@ -47,6 +53,13 @@ def expire_changelog_files(
     low_water = min(int(v) for v in max_offsets.values())
     archive = os.path.join(changelog_dir, "_archive")
     error_dir = os.path.join(changelog_dir, "_error")
+    state_path = os.path.join(changelog_dir, "_gc_state.json")
+    try:
+        with open(state_path) as f:
+            first_seen: dict[str, float] = json.load(f).get("unreadable", {})
+    except Exception:
+        first_seen = {}
+    seen_this_pass: dict[str, float] = {}
     moved = []
     for fn in sorted(os.listdir(changelog_dir)):
         if not fn.endswith(".parquet"):
@@ -65,15 +78,15 @@ def expire_changelog_files(
             if max_off is None:
                 continue
         except Exception:
-            import time
             import warnings
 
-            try:
-                age = time.time() - os.path.getmtime(path)
-            except OSError:
+            now = time.time()
+            first = first_seen.get(fn)
+            if first is None or now - first < error_grace_s:
+                # first sighting, or inside the grace: possibly mid-write —
+                # record and re-probe next pass
+                seen_this_pass[fn] = first if first is not None else now
                 continue
-            if age < error_grace_s:
-                continue  # possibly mid-write: re-probe next pass
             os.makedirs(error_dir, exist_ok=True)
             shutil.move(path, os.path.join(error_dir, fn))
             counters["errors"] += 1
@@ -87,4 +100,13 @@ def expire_changelog_files(
                 os.unlink(path)
             counters["archived"] += 1
             moved.append(fn)
+    # persist first-seen state (files that became readable or were moved
+    # drop out automatically: only this pass's sightings are kept)
+    try:
+        tmp = f"{state_path}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump({"unreadable": seen_this_pass}, f)
+        os.replace(tmp, state_path)
+    except OSError:
+        pass  # state is an optimization; next pass restarts the clock
     return moved

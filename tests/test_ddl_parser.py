@@ -158,7 +158,7 @@ def test_engine_applies_parsed_ddl(spark, tmp_path):
     fields = {f["name"]: f["type"] for f in eng.table.current_fields()}
     assert fields["STARGAZERS"] == "bigint"
     # narrowing is refused
-    with pytest.raises(ValueError, match="narrowing"):
+    with pytest.raises(ValueError, match="lossless"):
         eng.apply_ddl_statements(["ALTER TABLE repos.files MODIFY stargazers NUMBER(3,0);"])
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")

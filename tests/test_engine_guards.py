@@ -179,13 +179,28 @@ def test_corrupt_changelog_segment_goes_to_error_dir(spark, tmp_path):
     )
     assert moved == ["seg0.parquet"] and c1 == {"archived": 1, "errors": 0}
     assert not (d / "_error").exists()
-    # ...and moved to _error/ once older than the grace
+    # first sighting is persisted; a file NEVER seen unreadable before is
+    # never quarantined in one pass, however old its mtime (a stalled
+    # writer's large in-progress segment must not be yanked)
+    assert (d / "_gc_state.json").exists()
+    (d / "stalled.parquet").write_bytes(b"also not parquet")
+    os.utime(str(d / "stalled.parquet"), (0, 0))  # ancient mtime
+    c15 = {}
+    expire_changelog_files(
+        str(d), {"0": 100, "1": 100}, num_buckets=2, counters=c15, error_grace_s=0.0
+    )
+    # corrupt.parquet: second sighting past grace → quarantined;
+    # stalled.parquet: first sighting → only recorded
+    assert c15 == {"archived": 0, "errors": 1}
+    assert (d / "_error" / "corrupt.parquet").exists()
+    assert (d / "stalled.parquet").exists()
+    # ...and the stalled one goes on ITS second sighting past the grace
     c2 = {}
     expire_changelog_files(
         str(d), {"0": 100, "1": 100}, num_buckets=2, counters=c2, error_grace_s=0.0
     )
     assert c2 == {"archived": 0, "errors": 1}
-    assert (d / "_error" / "corrupt.parquet").exists()
+    assert (d / "_error" / "stalled.parquet").exists()
     assert (d / "_archive" / "seg0.parquet").exists()
 
 

@@ -97,18 +97,110 @@ def test_schema_add_rename_drop_mapping(spark, tmp_table):
 
 
 def test_writer_lock_excludes_second_writer(spark, tmp_table):
+    """flock semantics: a held lock excludes; a crashed writer's lock is
+    released by the kernel (no steal protocol, no steal race)."""
+    import fcntl
+
     t = _mk(spark, tmp_table, [("r1", "p1", 1)])
-    with open(os.path.join(t.meta_dir, "LOCK"), "w") as f:
-        f.write("1")  # pid 1: alive, not ours
+    lock_path = os.path.join(t.meta_dir, "LOCK")
+    # another process holds the flock → ConcurrentWriteError
+    holder = os.open(lock_path, os.O_CREAT | os.O_RDWR)
+    fcntl.flock(holder, fcntl.LOCK_EX | fcntl.LOCK_NB)
+    # flock is per-open-file-description: this process's second open
+    # contends like a foreign process would
     with pytest.raises(ConcurrentWriteError):
         with t._writer_lock():
             pass
-    os.unlink(os.path.join(t.meta_dir, "LOCK"))
-    # stale lock from a dead pid is stolen
-    with open(os.path.join(t.meta_dir, "LOCK"), "w") as f:
-        f.write("999999999")
+    # "crash": the holder's fd closes without an explicit unlock —
+    # the kernel releases the lock, the next writer acquires cleanly
+    os.close(holder)
     with t._writer_lock():
         pass
+    # a leftover LOCK file from a dead writer carries no lock at all
+    assert os.path.exists(lock_path)
+    with t._writer_lock():
+        pass
+
+
+def test_writer_lock_race_exactly_one_wins(tmp_table):
+    """N processes race for the lock over a dead writer's leftover LOCK
+    file; mutual exclusion must hold (the old pid-file protocol had a
+    TOCTOU where two stealers could both acquire)."""
+    import multiprocessing as mp
+    import time
+
+    tmp_table_dir = tmp_table
+    meta = os.path.join(tmp_table_dir, "_meta")
+    os.makedirs(meta, exist_ok=True)
+    with open(os.path.join(meta, "VERSION"), "w") as f:
+        f.write("0")
+    with open(os.path.join(meta, "v00000.json"), "w") as f:
+        f.write("{}")
+    # leftover lock file from a "crashed" writer (no flock held on it)
+    with open(os.path.join(meta, "LOCK"), "w") as f:
+        f.write("999999999")
+
+    def contend(path, results, idx):
+        t = LakeTable(path)
+        acquired = 0
+        for _ in range(50):
+            try:
+                with t._writer_lock():
+                    marker = os.path.join(path, "critical")
+                    assert not os.path.exists(marker), "two writers in critical section"
+                    with open(marker, "w") as f:
+                        f.write(str(os.getpid()))
+                    time.sleep(0.001)
+                    os.unlink(marker)
+                    acquired += 1
+            except ConcurrentWriteError:
+                time.sleep(0.001)
+        results[idx] = acquired
+
+    with mp.Manager() as mgr:
+        results = mgr.dict()
+        procs = [
+            mp.Process(target=contend, args=(tmp_table_dir, results, i)) for i in range(4)
+        ]
+        for p in procs:
+            p.start()
+        for p in procs:
+            p.join(60)
+        counts = dict(results)
+    assert len(counts) == 4 and all(p.exitcode == 0 for p in procs)
+    assert sum(counts.values()) > 0
+
+
+def test_modify_column_transition_whitelist(spark, tmp_table):
+    """Only lossless widenings commit; every cross-family change is
+    refused (an unchecked metadata change would make the ANSI read-time
+    cast of old files throw or silently corrupt values)."""
+    t = _mk(spark, tmp_table, [("r1", "p1", 1)])
+    # in-ladder widening + any->string + date->timestamp + decimal growth
+    t.modify_column("v", "double")
+    t.add_column("d", "date")
+    t.modify_column("d", "timestamp")
+    t.add_column("n", "decimal(6,2)")
+    t.modify_column("n", "decimal(10,4)")  # int digits 4->6, scale 2->4
+    t.add_column("i", "int")
+    t.modify_column("i", "decimal(12,2)")  # 10 int digits fit
+    t.modify_column("v", "string")
+    # refused: cross-family, narrowing, decimal shrink, timestamp->date
+    for col, bad in [
+        ("v", "int"),            # string -> int
+        ("n", "decimal(9,4)"),   # int digits 6 -> 5
+        ("n", "decimal(12,2)"),  # scale 4 -> 2
+        ("d", "date"),           # timestamp -> date
+        ("i", "double"),         # decimal -> double loses precision
+    ]:
+        with pytest.raises(ValueError, match="lossless"):
+            t.modify_column(col, bad)
+    # int -> decimal with too few integer digits is refused
+    t.add_column("j", "int")
+    with pytest.raises(ValueError, match="lossless"):
+        t.modify_column("j", "decimal(9,2)")
+    # data written before the widenings still reads (v went long->double->string)
+    assert t.read(spark).select("v").first()[0] == "1"
 
 
 def test_expire_versions_gc(spark, tmp_table):
