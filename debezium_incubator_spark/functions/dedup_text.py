@@ -133,6 +133,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     df_cap: int | None = 1000,
+    eager_cleanup: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via inverted index:
     explode shingles → self-join on shingle → per-pair co-occurrence
@@ -180,7 +181,10 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("__j") >= threshold)
     )
-    return out.select("id_a", "id_b", F.round("__j", 4).alias("jaccard"))
+    out = out.select("id_a", "id_b", F.round("__j", 4).alias("jaccard"))
+    from debezium_incubator_spark.functions._cache import finalize
+
+    return finalize(out, [inv], eager_cleanup)
 
 
 # ------------------------------------------------------------------ minhash/LSH
@@ -244,6 +248,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.7,
     seed: int = 42,
     df_cap: int | None = None,
+    eager_cleanup: bool = True,
 ) -> DataFrame:
     """Banded LSH candidate generation + exact-Jaccard verification.
 
@@ -294,7 +299,9 @@ def minhash_lsh_pairs(
     sh = _shingle_sets(df, id_col, text_col, shingle_n).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    return _verify_jaccard(cands, sh, threshold)
+    from debezium_incubator_spark.functions._cache import finalize
+
+    return finalize(_verify_jaccard(cands, sh, threshold), [sig, sh], eager_cleanup)
 
 
 # ------------------------------------------------------------------ simhash
@@ -358,6 +365,7 @@ def simhash_near_dups(
     bands: int = 4,
     bits: int = 64,
     token_hash=None,
+    eager_cleanup: bool = True,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band the ``bits`` into ``bands`` chunks —
     any pair within hamming ≤ bands-1 shares at least one exact chunk
@@ -410,8 +418,11 @@ def simhash_near_dups(
         .distinct()
     )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (
+    out = (
         cands.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+    from debezium_incubator_spark.functions._cache import finalize
+
+    return finalize(out, [sh], eager_cleanup)

@@ -138,6 +138,7 @@ def embedding_near_dups(
     n_tables: int = 8,
     seed: int = 42,
     dim: int = 64,
+    eager_cleanup: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, sim ≥ t).
 
@@ -199,11 +200,16 @@ def embedding_near_dups(
         out = c.join(d, F.col("id_a") < F.col("id_b")).withColumn(
             "__s", cosine_sim(F.col("va"), F.col("vb"))
         )
-    return (
+    result = (
         out.withColumn("sim", F.round(F.col("__s"), 4))
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
     )
+    if mode == "lsh":
+        from debezium_incubator_spark.functions._cache import finalize
+
+        result = finalize(result, [cb], eager_cleanup)
+    return result
 
 
 def _centroid_row(

@@ -139,7 +139,9 @@ def main():
     # never a cartesian / nested-loop product
     from debezium_incubator_spark.functions.dedup_text import ngram_jaccard_pairs
 
-    p5 = plan_of(ngram_jaccard_pairs(docs, threshold=0.5))
+    # eager_cleanup=False keeps the full lazy plan visible for the audit
+    # (the default materializes the result and unpersists the index)
+    p5 = plan_of(ngram_jaccard_pairs(docs, threshold=0.5, eager_cleanup=False))
     sections.append((
         "n-gram Jaccard inverted-index self-join (no cartesian)",
         p5,

@@ -332,3 +332,22 @@ def test_ivf_topk_finds_cluster_neighbors(spark):
         assert len(rows) == 3
         assert all(r["neighbor_id"] % 2 == q % 2 for r in rows)  # same cluster
         assert all(r["sim"] > 0.9 for r in rows)
+
+
+def test_self_join_persists_are_scoped(spark, docs):
+    """The operators' self-join intermediates must not leak CacheManager
+    entries for the session lifetime (callers running many queries would
+    accumulate storage blocks unboundedly). localCheckpoint blocks are
+    fine — the ContextCleaner releases those on GC; CacheManager entries
+    are the strong-referenced leak."""
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    assert cm.isEmpty(), "test requires a clean cache"
+    dd.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    dd.minhash_lsh_pairs(docs, threshold=0.5).collect()
+    dd.simhash_near_dups(docs).collect()
+    assert cm.isEmpty(), "operator leaked a CacheManager entry"
+    # opting out restores the lazy, caller-managed form
+    lazy = dd.ngram_jaccard_pairs(docs, threshold=0.5, eager_cleanup=False)
+    lazy.collect()
+    assert not cm.isEmpty()
+    spark.catalog.clearCache()
