@@ -545,6 +545,45 @@ def q_cdc_pipeline_replay(spark, sf):
     return eng.final_state().select("repo", "path", "commit", "lang", "content_sha256")
 
 
+MULTI_TABLE_ORACLE_DIR = f"/tmp/cdc_multitable_oracle_{_os.getuid()}"
+
+
+def q_multi_table_replay(spark, sf):
+    """Multi-table orchestration: TWO tables driven from ONE changelog
+    (source.table routing), each with its own engine/offsets/checkpoints
+    (≙ per-table offsets FileOffsetWriter.java:75-118; snapshot loop
+    SnapshotProcessor.java:132-137). The oracle recomputes each table's
+    final state independently from the same parquet files, partitioned
+    by the routing field."""
+    import tempfile
+
+    from debezium_incubator_spark.plans.orchestrator import MultiTableCDC
+    from debezium_incubator_spark.sources.changelog import ParquetChangelog
+    from debezium_incubator_spark.sources.generator import gen_changelog, gen_source_table
+
+    base = MULTI_TABLE_ORACLE_DIR
+    gen_source_table(spark, n_keys=300, n_repos=10, n_tables=2).write.mode(
+        "overwrite"
+    ).parquet(f"{base}/source")
+    gen_changelog(spark, n_keys=300, n_repos=10, n_slots=1200, n_tables=2).write.mode(
+        "overwrite"
+    ).parquet(f"{base}/changelog")
+    work = tempfile.mkdtemp(prefix="cdc_multi_")
+    orch = MultiTableCDC(spark, work, num_buckets=8)
+    orch.create_table("files_00")
+    orch.create_table("files_01")
+    orch.bootstrap(spark.read.parquet(f"{base}/source"))
+    orch.run(ParquetChangelog(f"{base}/changelog"), offsets_per_epoch=2000)
+    outs = [
+        orch.final_state(name).select(
+            F.lit(name).alias("src_table"),
+            "repo", "path", "commit", "lang", "content_sha256",
+        )
+        for name in ("files_00", "files_01")
+    ]
+    return outs[0].unionByName(outs[1])
+
+
 QUERIES = {
     "d1_offset_filter": q_d1_offset_filter,
     "d2_lww_dedup": q_d2_lww_dedup,
@@ -581,6 +620,7 @@ QUERIES = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "multimodal_features": q_multimodal_features,
     "cdc_pipeline_replay": q_cdc_pipeline_replay,
+    "multi_table_replay": q_multi_table_replay,
 }
 
 _WS = "[ \\t\\n\\r]+"
@@ -1087,6 +1127,28 @@ ORACLES["cdc_pipeline_replay"] = f"""
       SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY o DESC) rn
       FROM allv)
     SELECT repo, path, "commit", lang, lower(sha256(content)) AS content_sha256
+    FROM ranked WHERE rn = 1 AND op NOT IN ('d', 't')
+"""
+
+# Multi-table replay: same recomputation as cdc_pipeline_replay but
+# partitioned by the routing field — snapshot rows carry src_table, the
+# changelog carries source."table"; each table's LWW runs independently.
+ORACLES["multi_table_replay"] = f"""
+    WITH snap AS (
+      SELECT src_table, CAST(-1 AS BIGINT) AS o, 'r' AS op, repo, path,
+             "commit", lang, content
+      FROM read_parquet('{MULTI_TABLE_ORACLE_DIR}/source/*.parquet')),
+    ev AS (
+      SELECT source."table" AS src_table, "offset" AS o, op, repo, path,
+             after."commit" AS "commit", after.lang AS lang,
+             after.content AS content
+      FROM read_parquet('{MULTI_TABLE_ORACLE_DIR}/changelog/*.parquet')),
+    allv AS (SELECT * FROM snap UNION ALL SELECT * FROM ev),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY src_table, repo, path ORDER BY o DESC) rn
+      FROM allv)
+    SELECT src_table, repo, path, "commit", lang,
+           lower(sha256(content)) AS content_sha256
     FROM ranked WHERE rn = 1 AND op NOT IN ('d', 't')
 """
 

@@ -108,6 +108,22 @@ class LakeTable:
     def exists(path: str) -> bool:
         return os.path.exists(os.path.join(path, "_meta", "VERSION"))
 
+    @staticmethod
+    def drop(path: str) -> bool:
+        """DROP TABLE: remove the table's data and metadata (≙ the
+        reference dropping its schema-cache entry on a DROP TABLE DDL,
+        SchemaHolder.java:25-52 — here the storage goes too, since the
+        LakeTable IS the materialized target). Returns False when no
+        table exists at ``path``."""
+        import shutil
+
+        if not LakeTable.exists(path):
+            return False
+        # take the writer lock first so an in-flight commit finishes
+        with LakeTable(path)._writer_lock():
+            shutil.rmtree(path, ignore_errors=True)
+        return True
+
     # ------------------------------------------------------------------ meta
     def version(self) -> int:
         with open(os.path.join(self.meta_dir, "VERSION")) as f:

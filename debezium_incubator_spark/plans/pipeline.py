@@ -368,8 +368,10 @@ class CDCEngine:
         :42-80: CREATE/ADD fully applied; unsupported actions warned and
         skipped, matching the reference's ALTER/DROP warning behavior).
 
-        Row shape: {"action": "add_column"|"rename_column"|"drop_column",
-                    "name": ..., "new_name": ..., "dtype": ...}
+        Row shape: {"action": "add_column"|"rename_column"|"drop_column"|
+                    "modify_column"|"create_table"|"drop_table",
+                    "name": ..., "new_name": ..., "dtype": ...,
+                    "columns": ..., "primary_key": ...}
         Returns the number of applied events."""
         applied = 0
         for r in ddl_rows:
@@ -382,15 +384,56 @@ class CDCEngine:
                 self.table.drop_column(r["name"])
             elif action == "modify_column":
                 self.table.modify_column(r["name"], r.get("dtype", "string"))
+            elif action == "create_table":
+                self.provision_from_ddl(r)
+            elif action == "drop_table":
+                if not LakeTable.drop(self.table_path):
+                    import warnings
+
+                    warnings.warn(f"DROP TABLE {r.get('table')}: no table at {self.table_path}")
+                    continue
+                self._table = None
             else:
-                # create_table/drop_table arrive pre-provisioning; anything
-                # else is the reference's warn-and-continue path
+                # the reference's warn-and-continue path for unhandled DDL
                 import warnings
 
                 warnings.warn(f"unsupported DDL action skipped: {action}")
                 continue
             applied += 1
         return applied
+
+    def provision_from_ddl(self, action: dict) -> LakeTable:
+        """CREATE TABLE applied end-to-end: the parsed action's columns
+        become the target schema (field-id'd), its PRIMARY KEY the bucket
+        columns — the one DDL the reference fully applies
+        (OracleSchemaChangeEventEmitter.java:65-80). The engine's key and
+        payload configuration follow the DDL so subsequent epochs apply
+        into the provisioned table directly."""
+        from debezium_incubator_spark.sources.ddl import schema_from_create_action
+
+        if LakeTable.exists(self.table_path):
+            import warnings
+
+            warnings.warn(
+                f"CREATE TABLE {action.get('table')}: table already provisioned at "
+                f"{self.table_path}; keeping the existing schema"
+            )
+            return self.table
+        fields, pk = schema_from_create_action(action)
+        key_cols = pk or self.key_cols
+        self.key_cols = key_cols
+        self.payload_fields = [(n, t) for n, t in fields if n not in key_cols]
+        schema_fields = [(n, t) for n, t in fields]
+        if self.content_field in [n for n, _ in self.payload_fields]:
+            schema_fields.append(("content_sha256", "string"))
+        schema = T.StructType(
+            [T.StructField(n, T._parse_datatype_string(t), True) for n, t in schema_fields]
+        )
+        self._table = LakeTable.create(
+            self.table_path, schema, bucket_cols=key_cols, num_buckets=self.num_buckets
+        )
+        self._nb_checked = False
+        return self._table
 
     def apply_ddl_statements(self, statements: list[str]) -> int:
         """S7 — raw DDL text → parsed actions → schema commits. The parse

@@ -224,6 +224,22 @@ def parse_ddl(statement: str) -> list[dict]:
     return [{"action": "unsupported", "table": None, "text": stmt}]
 
 
+def schema_from_create_action(action: dict) -> tuple[list[tuple[str, str]], list[str]]:
+    """``create_table`` action → ((name, spark_type) field list, primary
+    key columns) — the provisioning input for a LakeTable (columns become
+    field-id'd schema entries; the PK becomes the bucket columns). ≙ the
+    one DDL path the reference FULLY applies: CREATE TABLE → registered
+    table schema, OracleSchemaChangeEventEmitter.java:65-80."""
+    if action.get("action") != "create_table":
+        raise ValueError(f"not a create_table action: {action.get('action')!r}")
+    fields = [(c["name"], c["dtype"]) for c in action.get("columns", [])]
+    if not fields:
+        raise ValueError(f"create_table for {action.get('table')!r} carries no columns")
+    names = {n for n, _ in fields}
+    pk = [c for c in action.get("primary_key", []) if c in names]
+    return fields, pk
+
+
 def parse_ddl_batch(statements: list[str]) -> list[dict]:
     """Parse many statements in order (a DDL control-stream epoch)."""
     out = []

@@ -75,6 +75,14 @@ def _key_cols(key_id: Column, n_repos: int, repo_skew: float):
     return repo, path, lang
 
 
+def _table_name(key_id: Column, n_tables: int) -> Column:
+    """Deterministic table assignment for multi-table runs; the single-
+    table default keeps the historical literal name."""
+    if n_tables <= 1:
+        return F.lit("files")
+    return F.format_string("files_%02d", F.pmod(key_id, F.lit(n_tables)).cast("int"))
+
+
 def gen_source_table(
     spark: SparkSession,
     n_keys: int = 2_000,
@@ -82,20 +90,34 @@ def gen_source_table(
     repo_skew: float = 2.0,
     seed: int = 42,
     partitions: int | None = None,
+    n_tables: int = 1,
 ) -> DataFrame:
-    """F1 — the live source table (snapshot input), one row per key."""
+    """F1 — the live source table (snapshot input), one row per key.
+    With ``n_tables > 1`` a ``src_table`` column assigns each key to one
+    of N CDC tables (the multi-table orchestration input; ≙ the agent
+    snapshotting ALL CDC-enabled tables, SnapshotProcessor.java:132-137).
+    """
     ids = spark.range(0, n_keys, numPartitions=partitions or spark.sparkContext.defaultParallelism)
     key_id = F.col("id")
     repo, path, lang = _key_cols(key_id, n_repos, repo_skew)
-    df = ids.select(repo.alias("repo"), path.alias("path"), lang.alias("lang"))
+    df = ids.select(
+        repo.alias("repo"),
+        path.alias("path"),
+        lang.alias("lang"),
+        _table_name(key_id, n_tables).alias("src_table"),
+    )
     commit = _commit(F.col("repo"), F.col("path"), F.lit(0))
-    return df.select(
+    out = df.select(
         "repo",
         "path",
         commit.alias("commit"),
         "lang",
         _content(F.col("repo"), F.col("path"), commit).alias("content"),
+        "src_table",
     )
+    if n_tables <= 1:
+        out = out.drop("src_table")  # historical single-table schema
+    return out
 
 
 def gen_changelog(
@@ -114,6 +136,7 @@ def gen_changelog(
     segment_size: int = 1 << 20,
     ts_step_ms: int = 10,
     partitions: int | None = None,
+    n_tables: int = 1,
 ) -> DataFrame:
     """F2 — the change-event log. Each logical *slot* touches one key and
     expands to 1–3 physical events (delete→+tombstone; PK-update→d,t,c).
@@ -217,7 +240,10 @@ def gen_changelog(
         .otherwise(F.array(ev_plain))
     )
     exploded = df.select(
-        "slot", "repo", F.posexplode(events).alias("idx", "ev")
+        "slot",
+        "repo",
+        _table_name(F.col("key_id"), n_tables).alias("__tbl"),
+        F.posexplode(events).alias("idx", "ev"),
     )
 
     offset = (F.col("slot") * 4 + F.col("idx")).cast("long")
@@ -232,7 +258,7 @@ def gen_changelog(
         pos.alias("pos"),
         F.lit(False).alias("snapshot"),
         F.lit("repos").alias("keyspace"),
-        F.lit("files").alias("table"),
+        F.col("__tbl").alias("table"),
         (ts_ms * 1000).cast("long").alias("ts_micro"),
         F.format_string("tx-%d", F.col("slot")).alias("txid"),
         offset.alias("scn"),

@@ -1,0 +1,172 @@
+"""Multi-table orchestration: N tables driven from one changelog with
+per-table offsets/checkpoints (≙ SnapshotProcessor.java:132-137 snapshot
+loop, FileOffsetWriter.java:75-118 per-table offsets), CREATE TABLE DDL
+provisioning mid-stream (OracleSchemaChangeEventEmitter.java:65-80), and
+DROP TABLE teardown."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from debezium_incubator_spark.lake.table import LakeTable
+from debezium_incubator_spark.plans.orchestrator import MultiTableCDC
+from debezium_incubator_spark.sources.changelog import DataFrameChangelog
+from debezium_incubator_spark.sources.generator import gen_changelog, gen_source_table
+
+N_KEYS, N_REPOS, N_SLOTS = 200, 8, 600
+
+CREATE_T1 = (
+    'CREATE TABLE repos.files_01 ('
+    '"repo" varchar2(100), "path" varchar2(500), "commit" varchar2(40), '
+    '"lang" varchar2(10), "content" clob, '
+    'PRIMARY KEY ("repo", "path"));'
+)
+
+
+@pytest.fixture(scope="module")
+def fixtures(spark):
+    src = gen_source_table(spark, n_keys=N_KEYS, n_repos=N_REPOS, n_tables=2)
+    log = gen_changelog(spark, n_keys=N_KEYS, n_repos=N_REPOS, n_slots=N_SLOTS, n_tables=2)
+    return src, log
+
+
+def _final(orch, name):
+    return sorted(
+        tuple(r)
+        for r in orch.final_state(name)
+        .select("repo", "path", "commit", "lang", "content_sha256")
+        .collect()
+    )
+
+
+def _clean_run(spark, tmp_path, src, log, sub="clean"):
+    orch = MultiTableCDC(spark, str(tmp_path / sub), num_buckets=4)
+    orch.create_table("files_00")
+    orch.create_table("files_01")
+    orch.bootstrap(src)
+    orch.run(DataFrameChangelog(log), offsets_per_epoch=4 * N_SLOTS + 4)
+    return orch
+
+
+def test_two_tables_resume_independently(spark, tmp_path, fixtures):
+    """Kill/restart mid-stream: a NEW orchestrator instance reconstructs
+    both engines from the registry and resumes each from ITS OWN
+    checkpoint; the final state matches a clean one-shot run per table."""
+    src, log = fixtures
+    expected = {n: _final(_clean_run(spark, tmp_path, src, log), n)
+                for n in ("files_00", "files_01")}
+
+    root = str(tmp_path / "resumed")
+    orch = MultiTableCDC(spark, root, num_buckets=4)
+    orch.create_table("files_00")
+    orch.create_table("files_01")
+    orch.bootstrap(src)
+    # partial progress: 1 epoch per table, then "crash"
+    orch.run(DataFrameChangelog(log), offsets_per_epoch=800, max_epochs=1)
+    m = orch.metrics()
+    assert 0 < m["files_00"]["counters"]["events_in"]
+    assert 0 < m["files_01"]["counters"]["events_in"]
+
+    # restart: registry-driven reconstruction, independent resume
+    orch2 = MultiTableCDC(spark, root, num_buckets=4)
+    assert set(orch2.engines) == {"files_00", "files_01"}
+    orch2.run(DataFrameChangelog(log), offsets_per_epoch=800)
+    for name in ("files_00", "files_01"):
+        assert _final(orch2, name) == expected[name]
+    # per-table lineage: independent positions + counters
+    m2 = orch2.metrics()
+    assert m2["files_00"]["max_offsets"] != m2["files_01"]["max_offsets"]
+    total = m2["files_00"]["counters"]["events_in"] + m2["files_01"]["counters"]["events_in"]
+    # every source row (snapshot epochs) and changelog row is counted by
+    # exactly one table's engine
+    assert total == log.count() + src.count()
+
+
+def test_create_table_ddl_provisions_mid_stream(spark, tmp_path, fixtures):
+    """CREATE TABLE arriving mid-stream provisions a fresh typed target
+    (columns + PK from the parsed DDL) that replays the full history —
+    converging to the same state as a table registered up front."""
+    src, log = fixtures
+    expected = _final(_clean_run(spark, tmp_path, src, log, sub="clean2"), "files_01")
+
+    root = str(tmp_path / "midstream")
+    orch = MultiTableCDC(spark, root, num_buckets=4)
+    orch.create_table("files_00")
+    orch.bootstrap(src)
+    orch.run(DataFrameChangelog(log), offsets_per_epoch=4 * N_SLOTS + 4)
+    assert "files_01" not in orch.engines
+
+    n = orch.apply_ddl_statements([CREATE_T1])
+    assert n == 1 and "files_01" in orch.engines
+    t = orch.engines["files_01"].table
+    fields = {f["name"]: f["type"] for f in t.current_fields()}
+    assert fields == {
+        "repo": "string", "path": "string", "commit": "string",
+        "lang": "string", "content": "string", "content_sha256": "string",
+    }
+    assert t.manifest()["bucket_cols"] == ["repo", "path"]
+
+    # mid-stream table had NO snapshot: only keys whose full lifecycle is
+    # in the changelog converge to the clean-run state (clean run had a
+    # snapshot for pre-existing keys). Restrict the comparison to keys
+    # the changelog created from scratch? No — the generator's first
+    # touch of a snapshotted key is 'u' carrying the full image, so
+    # replaying the whole changelog converges for every key TOUCHED by
+    # it; untouched keys exist only via the snapshot.
+    orch.run(DataFrameChangelog(log), offsets_per_epoch=4 * N_SLOTS + 4)
+    got = dict(((r[0], r[1]), tuple(r)) for r in _final(orch, "files_01"))
+    exp = dict(((r[0], r[1]), tuple(r)) for r in expected)
+    # every replayed key matches the clean run exactly
+    assert got and all(exp.get(k) == v for k, v in got.items())
+    # the difference is exactly the snapshot-only (never-touched) keys
+    only_snapshot = set(exp) - set(got)
+    touched = {
+        (r["repo"], r["path"])
+        for r in log.filter(F.col("source.table") == "files_01")
+        .select("repo", "path")
+        .distinct()
+        .collect()
+    }
+    assert all(k not in touched for k in only_snapshot)
+
+
+def test_drop_table_ddl(spark, tmp_path, fixtures):
+    src, log = fixtures
+    root = str(tmp_path / "drop")
+    orch = MultiTableCDC(spark, root, num_buckets=4)
+    orch.create_table("files_00")
+    path = orch.engines["files_00"].table_path
+    assert LakeTable.exists(path)
+    n = orch.apply_ddl_statements(["DROP TABLE repos.files_00;"])
+    assert n == 1 and "files_00" not in orch.engines
+    assert not LakeTable.exists(path)
+    # registry updated: a restart does not resurrect it
+    orch2 = MultiTableCDC(spark, root, num_buckets=4)
+    assert orch2.engines == {}
+    # dropping again is the warn-and-skip path
+    with pytest.warns(UserWarning, match="not registered"):
+        assert orch.apply_ddl_statements(["DROP TABLE repos.files_00;"]) == 0
+
+
+def test_engine_provision_from_ddl_then_apply(spark, tmp_path):
+    """Single-engine form of the same path (VERDICT item 1 done-criteria):
+    DDL text → table exists → an epoch applies into it."""
+    from debezium_incubator_spark.plans.pipeline import CDCEngine
+    from debezium_incubator_spark.sources.ddl import parse_ddl
+
+    eng = CDCEngine(
+        spark, str(tmp_path / "t"), str(tmp_path / "c"),
+        num_buckets=4, snapshot_mode="never",
+    )
+    (action,) = parse_ddl(CREATE_T1)
+    n = eng.apply_ddl_events([action])
+    assert n == 1 and LakeTable.exists(eng.table_path)
+    assert eng.key_cols == ["repo", "path"]
+    eng.bootstrap(None)
+    log = gen_changelog(spark, n_keys=50, n_repos=4, n_slots=100)
+    eng.run(DataFrameChangelog(log), offsets_per_epoch=1000)
+    assert eng.final_state().count() > 0
+    # re-provisioning an existing table warns and keeps the schema
+    with pytest.warns(UserWarning, match="already provisioned"):
+        eng.apply_ddl_events([action])
