@@ -292,7 +292,7 @@ def ivf_topk(
     k: int = 5,
     n_centroids: int = 16,
     n_probe: int = 4,
-    init: str = "hash_sample",
+    init: str = "kmeans",
     kmeans_iters: int = 5,
     sample_rows: int = 10_000,
 ) -> DataFrame:
@@ -306,7 +306,11 @@ def ivf_topk(
     centroid counts (thousands) no longer inflate the plan (the old form
     inlined dim×n_centroids literals). Assignment argmax and the query's
     probe list tie-break identically (max sim, then max cid), matching
-    the DuckDB oracle's row_number ordering."""
+    the DuckDB oracle's row_number ordering.
+
+    The DEFAULT init is the recall-tested k-means refinement (Lloyd over
+    a bounded sample); ``init="hash_sample"`` keeps the SQL-replicable
+    raw seeds for cross-engine oracles."""
     from pyspark.sql.window import Window
 
     cent = F.broadcast(

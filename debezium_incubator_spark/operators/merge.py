@@ -45,6 +45,7 @@ def merge_upsert(
     assume_unique_keys: bool = False,
     lww_strategy: str = "agg",
     salt_buckets: int = 16,
+    extra_counters: dict | None = None,
     winner_broadcast_max: int = 0,  # winner-join LWW off by default:
     # measured slower than the fused max_by at this payload size — the
     # full-row dedup still shuffles the payload and the broadcast build
@@ -189,6 +190,8 @@ def merge_upsert(
         "tombstones": n_tomb,
         "buckets_touched": len(changed),
     }
+    if extra_counters:
+        counters.update(extra_counters)
     full_summary = dict(summary or {})
     full_summary["max_offsets"] = max_offsets
     full_summary["counters"] = counters

@@ -59,6 +59,7 @@ class CDCEngine:
         salt_buckets: int = 16,
         checkpoint_interval: int = 1,
         snapshot_mode: str = "initial",  # initial | always | never
+        audit_before: bool = False,
     ):
         self.spark = spark
         self.table_path = table_path
@@ -98,6 +99,11 @@ class CDCEngine:
         if snapshot_mode not in ("initial", "always", "never"):
             raise ValueError(f"snapshot_mode must be initial|always|never, got {snapshot_mode!r}")
         self.snapshot_mode = snapshot_mode
+        # before-image consistency audit (opt-in: one extra skinny join
+        # per epoch) — ≙ the before/after pairs the reference emits and
+        # asserts (XStreamChangeRecordEmitter.java:44-51,
+        # OracleConnectorIT.java:369-456)
+        self.audit_before = audit_before
         self._table: LakeTable | None = None
         self._nb_checked = False
 
@@ -160,6 +166,49 @@ class CDCEngine:
                 ),
             )
         return out
+
+    def _audit_before_images(self, events: DataFrame) -> int:
+        """Count update/delete events whose BEFORE image disagrees with
+        the current table state (consistency audit over the carried
+        before-images, ≙ the before/after pairs the reference asserts in
+        OracleConnectorIT.java:369-456).
+
+        Only each key's EARLIEST event in the batch is checked — later
+        events' pre-state is mid-batch, not table state. The check is a
+        skinny join: (key, expected sha) against a bucket-pruned,
+        column-pruned read of (key, content_sha256); the batch side is
+        small per epoch, so it broadcasts.
+        """
+        if "before" not in events.columns or self.content_field not in [
+            f.name for f in events.schema["before"].dataType.fields
+        ]:
+            return 0
+        if "content_sha256" not in [f["name"] for f in self.table.current_fields()]:
+            return 0
+        bc = F.col(f"before.{self.content_field}")
+        if self.normalize:
+            bc = normalize_content(bc)
+        ev = events.filter(
+            F.col("op").isin("u", "d") & F.col(f"before.{self.content_field}").isNotNull()
+        ).select(*self.key_cols, "offset", fingerprint(bc).alias("__exp_sha"))
+        firsts = ev.groupBy(*self.key_cols).agg(
+            F.min_by("__exp_sha", F.col("offset")).alias("__exp_sha")
+        )
+        firsts = self.table.with_bucket(firsts)
+        # one small driver fetch (≤ num_buckets ints) prunes the table read
+        bucket_rows = firsts.select(F.collect_set(BUCKET_COL).alias("bs")).first()
+        buckets = bucket_rows["bs"] if bucket_rows and bucket_rows["bs"] else []
+        if not buckets:
+            return 0
+        cur = self.table.read(
+            self.spark, buckets=buckets, columns=[*self.key_cols, "content_sha256"]
+        )
+        mismatches = (
+            cur.join(F.broadcast(firsts), self.key_cols)
+            .filter(F.col("content_sha256") != F.col("__exp_sha"))
+            .count()
+        )
+        return int(mismatches)
 
     def _prefilter(self, events: DataFrame) -> DataFrame:
         # corrupt-event guard: a mutation without a full primary key is
@@ -281,7 +330,11 @@ class CDCEngine:
             return self._reconcile(ckpt)
 
         renames = ckpt.get("renames", [])
-        flat = self._unwrap(self._prefilter(events), renames)
+        pre = self._prefilter(events)
+        audit_counters = None
+        if self.audit_before and not is_snapshot and "before" in pre.columns:
+            audit_counters = {"before_image_mismatch": self._audit_before_images(pre)}
+        flat = self._unwrap(pre, renames)
         flat = self.table.with_bucket(flat)
         if not is_snapshot:
             # the global-min fast path inside filter_processed is only
@@ -321,6 +374,7 @@ class CDCEngine:
             assume_unique_keys=assume_unique_keys,
             lww_strategy=self.lww_strategy,
             salt_buckets=self.salt_buckets,
+            extra_counters=audit_counters,
         )
         if not stats["max_offsets"] and stats["counters"].get("events_in", 0) == 0:
             # K5 heartbeat: empty batch still advances the epoch/offsets

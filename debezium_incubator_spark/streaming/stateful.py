@@ -54,28 +54,42 @@ def lww_changes_stream(
         + [T.StructField(c, T.StringType()) for c in payload_cols]
     )
     out_type = T.StructType(out_fields)
+    out_cols = [f.name for f in out_fields]
 
     def update(
         key: Tuple[Any, ...],
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
-        batch = pd.concat(list(pdfs), ignore_index=True)
-        if batch.empty:
+        # per-key constant cost is THE scale limit at millions of keys
+        # per micro-batch (the API hands groups one at a time, so a
+        # cross-key batch emit isn't possible) — so: no pd.concat (scan
+        # the chunk iterator), ndarray argmax instead of idxmax/loc, and
+        # the stale-replay exit happens before any payload work
+        best_off = -(1 << 62)
+        best_row = None
+        for pdf in pdfs:
+            if not len(pdf.index):
+                continue
+            col = pdf[offset_col].values
+            i = int(col.argmax())
+            if int(col[i]) > best_off:
+                best_off = int(col[i])
+                best_row = pdf.iloc[i]
+        if best_row is None:
             return
-        win = batch.loc[batch[offset_col].idxmax()]
-        prev = state.get if state.exists else (-(1 << 62), None)
-        prev_off = int(prev[0])
-        new_off = int(win[offset_col])
-        if new_off <= prev_off:
+        prev_off = int(state.get[0]) if state.exists else -(1 << 62)
+        if best_off <= prev_off:
             return  # replay/stale: absorbed by state, nothing emitted
-        payload = {c: (None if pd.isna(win[c]) else str(win[c])) for c in payload_cols}
-        state.update((new_off, json.dumps(payload)))
+        payload = {
+            c: (None if pd.isna(best_row[c]) else str(best_row[c])) for c in payload_cols
+        }
+        state.update((best_off, json.dumps(payload)))
         row = dict(zip(key_cols, key))
-        row[offset_col] = new_off
-        row[op_col] = str(win[op_col])
+        row[offset_col] = best_off
+        row[op_col] = str(best_row[op_col])
         row.update(payload)
-        yield pd.DataFrame([row], columns=[f.name for f in out_fields])
+        yield pd.DataFrame([row], columns=out_cols)
 
     grouped = events.groupBy(*key_cols)
     return grouped.applyInPandasWithState(

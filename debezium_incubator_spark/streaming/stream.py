@@ -78,7 +78,22 @@ class StreamingCDC:
         # guards make it a no-op; top > last → normal forward progress.
         self.engine.apply_epoch(batch_df, stream_pos=max(top, last))
 
-    def start(self, spark: SparkSession, available_now: bool = True):
+    def start(
+        self,
+        spark: SparkSession,
+        available_now: bool = True,
+        processing_time: str | None = None,
+    ):
+        """Start the stream. ``available_now=True`` drains the current
+        directory contents and stops (the batch-campaign mode);
+        ``processing_time="5 seconds"`` instead watches the directory
+        INDEFINITELY, picking up files as they land — the reference's
+        continuous directory watch (AbstractDirectoryWatcher.java:40-53,
+        CommitLogProcessor.java:75-94). Idle triggers heartbeat through
+        the same exactly-once epoch core; stop with ``q.stop()`` or
+        ``run_until(...)``."""
+        if processing_time is not None and available_now:
+            available_now = False
         reader = (
             spark.readStream.schema(self.schema)
             .option("maxFilesPerTrigger", str(self.max_files_per_trigger))
@@ -91,10 +106,38 @@ class StreamingCDC:
         )
         if available_now:
             writer = writer.trigger(availableNow=True)
+        elif processing_time is not None:
+            writer = writer.trigger(processingTime=processing_time)
         return writer.start()
 
     def run_until_caught_up(self, spark: SparkSession, timeout_s: float = 300.0) -> None:
         q = self.start(spark, available_now=True)
         q.awaitTermination(timeout_s)
         if q.isActive:
+            q.stop()
+
+    def run_until(
+        self,
+        spark: SparkSession,
+        stop_condition,
+        processing_time: str = "1 seconds",
+        timeout_s: float = 300.0,
+        poll_s: float = 0.5,
+    ) -> None:
+        """Drive the continuous trigger until ``stop_condition(engine)``
+        returns True (or the timeout lapses), then stop the query — the
+        testable form of an otherwise indefinite watch."""
+        import time
+
+        q = self.start(spark, processing_time=processing_time)
+        deadline = time.monotonic() + timeout_s
+        try:
+            while time.monotonic() < deadline:
+                if q.exception() is not None:
+                    raise q.exception()
+                if stop_condition(self.engine):
+                    return
+                time.sleep(poll_s)
+            raise TimeoutError(f"stop_condition not met within {timeout_s}s")
+        finally:
             q.stop()

@@ -224,3 +224,49 @@ def test_per_table_field_blacklist(spark):
     # global entry still scrubs everywhere
     out2 = drop_envelope_fields(ev, ["content"])
     assert {r["after"]["content"] for r in out2.collect()} == {None}
+
+
+# --------------------------------------------------------- before-image audit
+
+def test_before_image_audit_counter(spark, tmp_path):
+    """Opt-in audit compares each key's first-in-batch before-image
+    against the committed table state (≙ before/after pair assertions,
+    OracleConnectorIT.java:369-456): consistent generator stream → 0
+    mismatches; a doctored before-image → counted, and the epoch still
+    applies (audit, not a gate)."""
+    from debezium_incubator_spark.sources.changelog import DataFrameChangelog
+
+    eng = _engine(spark, tmp_path, "audit", audit_before=True)
+    src = gen_source_table(spark, n_keys=50, n_repos=4)
+    eng.bootstrap(src)
+    log = gen_changelog(spark, n_keys=50, n_repos=4, n_slots=100)
+    eng.run(DataFrameChangelog(log), offsets_per_epoch=150)
+    m = eng.metrics()
+    assert m["counters"]["before_image_mismatch"] == 0
+    assert m["counters"]["events_in"] > 0
+
+    row = eng.final_state().filter(F.col("content_sha256").isNotNull()).first()
+    top = int(log.agg(F.max("offset")).first()[0])
+    bad = mk_events(
+        spark,
+        [
+            {
+                "offset": top + 10,
+                "op": "u",
+                "repo": row["repo"],
+                "path": row["path"],
+                "before": {"commit": "x", "lang": row["lang"], "content": "WRONG\n"},
+                "after": {"commit": "y", "lang": row["lang"], "content": "new body\n"},
+            }
+        ],
+    )
+    eng.apply_epoch(bad)
+    m2 = eng.metrics()
+    assert m2["counters"]["before_image_mismatch"] == 1
+    # the mismatched update still applied (LWW wins by offset)
+    got = (
+        eng.final_state()
+        .filter((F.col("repo") == row["repo"]) & (F.col("path") == row["path"]))
+        .first()
+    )
+    assert got["commit"] == "y"

@@ -50,3 +50,56 @@ def test_streaming_matches_batch(spark, tmp_path):
     got = state_pdf(es)
     assert got.equals(expected)
     assert es.metrics()["epoch"] >= 2  # processed as multiple micro-batches
+
+
+def test_continuous_trigger_picks_up_new_files(spark, tmp_path):
+    """processingTime trigger: the stream watches the directory
+    INDEFINITELY (≙ AbstractDirectoryWatcher.java:40-53) — files landed
+    AFTER the query starts are picked up; run_until stops it once the
+    engine catches up to the full changelog."""
+    from pyspark.sql import functions as F
+
+    src = gen_source_table(spark, n_keys=60, n_repos=5)
+    log = gen_changelog(spark, n_keys=60, n_repos=5, n_slots=200)
+    top = int(log.agg(F.max("offset")).first()[0])
+
+    # batch reference for the converged state
+    b = tmp_path / "batch"
+    eb = CDCEngine(spark, str(b / "t"), str(b / "c"), num_buckets=4)
+    eb.create_target()
+    eb.bootstrap(src)
+    eb.run(DataFrameChangelog(log), offsets_per_epoch=1000)
+    expected = state_pdf(eb)
+
+    log_dir = str(tmp_path / "chlog2")
+    os.makedirs(log_dir, exist_ok=True)
+    pdf = log.orderBy("offset")
+    half = top // 2
+    pdf.filter(F.col("offset") <= half).coalesce(1).write.mode("append").parquet(log_dir)
+
+    s = tmp_path / "stream2"
+    es = CDCEngine(spark, str(s / "t"), str(s / "c"), num_buckets=4)
+    es.create_target()
+    es.bootstrap(src)
+    scdc = StreamingCDC(es, log_dir, str(s / "sck"), max_files_per_trigger=4)
+
+    import threading
+
+    def land_second_half():
+        time.sleep(3.0)  # after the query is running
+        pdf.filter(F.col("offset") > half).coalesce(1).write.mode("append").parquet(log_dir)
+
+    t = threading.Thread(target=land_second_half)
+    t.start()
+    try:
+        scdc.run_until(
+            spark,
+            stop_condition=lambda e: int(
+                e._reconcile(e.store.latest()).get("stream_pos", -1)
+            ) >= top,
+            processing_time="1 seconds",
+            timeout_s=240,
+        )
+    finally:
+        t.join()
+    assert state_pdf(es).equals(expected)

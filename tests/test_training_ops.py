@@ -262,6 +262,12 @@ def test_ivf_kmeans_init_recall(spark):
     r_hash, r_km = recall("hash_sample"), recall("kmeans")
     assert r_km >= 0.9
     assert r_km >= r_hash - 1e-9
+    # the DEFAULT init IS the recall-tested k-means path
+    got_default = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.ivf_topk(df, q, k=4, n_centroids=8, n_probe=3).collect()
+    }
+    assert len(exact & got_default) / len(exact) >= 0.9
 
 
 def test_simhash_portable_complete_banding(spark, docs):
