@@ -357,3 +357,28 @@ def test_self_join_persists_are_scoped(spark, docs):
     lazy.collect()
     assert not cm.isEmpty()
     spark.catalog.clearCache()
+
+
+def test_ngram_skew_salted_heavy_path(spark):
+    """VERDICT r2 #4: shingles above the skew threshold take a salted
+    (shingle, salt) self-join — identical pair set to the unsalted join,
+    with the df² fan-out spread over skew_salts tasks instead of one."""
+    rows = [
+        (i, f"shared boiler plate header common to all docs unique{i} tok{i} x{i}")
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(threshold=0.2, df_cap=1000)
+    salted = dd.ngram_jaccard_pairs(df, skew_df_threshold=8, skew_salts=4, **kw)
+    plain = dd.ngram_jaccard_pairs(df, skew_df_threshold=10**9, **kw)
+    got_s = sorted(tuple(r) for r in salted.collect())
+    got_p = sorted(tuple(r) for r in plain.collect())
+    assert got_s == got_p and len(got_s) > 100
+    # the heavy branch really joins on (shingle, salt): the salt column
+    # appears in the lazy plan's join keys
+    lazy = dd.ngram_jaccard_pairs(
+        df, skew_df_threshold=8, skew_salts=4, eager_cleanup=False, **kw
+    )
+    plan = lazy._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" in plan
+    spark.catalog.clearCache()
