@@ -199,7 +199,8 @@ def main():
     # engine's scaling from the box's
     pairs, norm_pairs, window_ceilings = [], [], []
     runs = {N_CORES: [], FOURN_CORES: []}
-    for _ in range(3):
+    n_pairs = int(os.environ.get("SCALING_PAIRS", "3"))
+    for _ in range(n_pairs):
         w_calib = {n: _cpu_probe(n) for n in (N_CORES, FOURN_CORES)}
         w_eff = (w_calib[FOURN_CORES] / w_calib[N_CORES]) / (FOURN_CORES / N_CORES)
         window_ceilings.append(round(w_eff, 3))
