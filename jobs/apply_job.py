@@ -11,10 +11,12 @@ via ``--py-files``; this driver script is the job:
         --mode batch --offsets-per-epoch 5000000 --num-buckets 512
 
 Modes:
-  batch  — snapshot bootstrap (if needed) + catch-up over the changelog
-           (resumable from the checkpoint; safe to re-run)
-  stream — same, then stay attached via Structured Streaming
-           (availableNow per invocation; wrap in a scheduler for 24/7)
+  batch      — snapshot bootstrap (if needed) + catch-up over the
+               changelog (resumable from the checkpoint; safe to re-run)
+  stream     — same, then stay attached via Structured Streaming
+               (availableNow per invocation; wrap in a scheduler for 24/7)
+  continuous — indefinite directory watch (processingTime trigger,
+               ≙ AbstractDirectoryWatcher); --max-runtime bounds it
 
 On a 1000-executor cluster the only knobs that matter are
 --num-buckets (≈ executors × 4) and --offsets-per-epoch (events per
@@ -33,7 +35,11 @@ def main():
     p.add_argument("--checkpoint", required=True)
     p.add_argument("--changelog", required=True)
     p.add_argument("--source", help="source table parquet for the snapshot phase")
-    p.add_argument("--mode", choices=["batch", "stream"], default="batch")
+    p.add_argument("--mode", choices=["batch", "stream", "continuous"], default="batch")
+    p.add_argument("--trigger-interval", default="10 seconds",
+                   help="processingTime interval for --mode continuous")
+    p.add_argument("--max-runtime", type=float,
+                   help="stop the continuous watch after N seconds (default: run forever)")
     p.add_argument("--num-buckets", type=int, default=64)
     p.add_argument("--offsets-per-epoch", type=int, default=1_000_000)
     p.add_argument("--include-regex")
@@ -71,11 +77,21 @@ def main():
     changelog = ParquetChangelog(args.changelog)
     if args.mode == "batch":
         eng.run(changelog, offsets_per_epoch=args.offsets_per_epoch)
-    else:
+    elif args.mode == "stream":
         from debezium_incubator_spark.streaming.stream import StreamingCDC
 
         scdc = StreamingCDC(eng, args.changelog, f"{args.checkpoint}/_stream")
         scdc.run_until_caught_up(spark)
+    else:
+        from debezium_incubator_spark.streaming.stream import StreamingCDC
+
+        scdc = StreamingCDC(eng, args.changelog, f"{args.checkpoint}/_stream")
+        q = scdc.start(spark, processing_time=args.trigger_interval)
+        if args.max_runtime is not None:
+            q.awaitTermination(args.max_runtime)
+            q.stop()
+        else:
+            q.awaitTermination()
 
     if args.expire_changelog:
         from debezium_incubator_spark.sources.gc import expire_changelog_files

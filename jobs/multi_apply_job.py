@@ -1,0 +1,65 @@
+"""spark-submit entry point for MULTI-TABLE CDC apply.
+
+One changelog drives every CDC-enabled table (≙ the reference agent
+capturing all tables: snapshot loop SnapshotProcessor.java:132-137,
+per-table offsets FileOffsetWriter.java:75-118):
+
+    cd /root/repo && zip -qr /tmp/engine.zip debezium_incubator_spark
+    spark-submit --master <cluster> --py-files /tmp/engine.zip \
+        jobs/multi_apply_job.py \
+        --root /data/lake/cdc --changelog /data/changelog \
+        --source /data/source_snapshot --tables files_00,files_01 \
+        --num-buckets 512 --offsets-per-epoch 5000000
+
+The table set is durable (--root/_registry.json): re-runs reconstruct
+every registered engine and resume each from its own checkpoint.
+``--ddl-file`` applies a file of DDL statements (one per line or
+;-separated) BEFORE the stream phase — CREATE TABLE statements provision
+new tables that then replay the changelog history.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--root", required=True, help="orchestrator root (tables/ ckpt/ registry)")
+    p.add_argument("--changelog", required=True)
+    p.add_argument("--source", help="snapshot parquet carrying a src_table column")
+    p.add_argument("--tables", help="comma-separated table names to register")
+    p.add_argument("--ddl-file", help="file of DDL statements applied before streaming")
+    p.add_argument("--num-buckets", type=int, default=64)
+    p.add_argument("--offsets-per-epoch", type=int, default=1_000_000)
+    p.add_argument("--source-table-col", default="src_table")
+    args = p.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from debezium_incubator_spark.plans.orchestrator import MultiTableCDC
+    from debezium_incubator_spark.sources.changelog import ParquetChangelog
+
+    spark = SparkSession.builder.appName("cdc-multi-apply").getOrCreate()
+    orch = MultiTableCDC(spark, args.root, num_buckets=args.num_buckets)
+    for name in (args.tables or "").split(","):
+        if name.strip():
+            orch.create_table(name.strip())
+
+    if args.ddl_file:
+        with open(args.ddl_file) as f:
+            stmts = [s.strip() for s in f.read().split(";") if s.strip()]
+        orch.apply_ddl_statements([s + ";" for s in stmts])
+
+    if args.source:
+        src = spark.read.parquet(args.source)
+        orch.bootstrap(src, table_col=args.source_table_col)
+
+    orch.run(ParquetChangelog(args.changelog), offsets_per_epoch=args.offsets_per_epoch)
+    print(json.dumps(orch.metrics()))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
