@@ -144,3 +144,32 @@ def test_unicode_content_fingerprint_parity(spark):
         assert r["h"] == hashlib.sha256(r["norm"].encode("utf-8")).hexdigest()
     # normalization preserves non-ascii content, strips trailing ws
     assert rows[2]["norm"] == "emoji 🧪🧬\tmixed\n"
+
+
+def test_source_struct_parity(spark):
+    """SourceInfoTest.java:39-67 analog: version and connector fields are
+    present and populated, and the source schema is the fixed field list
+    (the superset of Cassandra SourceInfo.java:34-44 and Oracle
+    OracleSourceInfoStructMaker.java:20-27 documented in SURVEY §1.1)."""
+    flat = spark.createDataFrame(
+        [("r", "p", "c0", "py", "x = 1\n")],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    envl = env.build_envelope(
+        flat, op="c", offset=F.lit(7).cast("long"), ts_ms=F.lit(123).cast("long")
+    )
+    names = [f.name for f in envl.schema["source"].dataType.fields]
+    assert names == [
+        "version", "connector", "cluster", "file", "pos", "snapshot",
+        "keyspace", "table", "ts_micro", "txid", "scn",
+    ]
+    src = envl.first()["source"]
+    assert src["version"] and src["connector"]            # presence (SourceInfoTest)
+    assert src["ts_micro"] == 123 * 1000                  # epoch-micros contract
+    assert src["scn"] == 7                                # offset doubles as SCN
+    # generator envelopes carry the SAME source schema (cross-producer parity)
+    from debezium_incubator_spark.sources.generator import gen_changelog
+
+    g = gen_changelog(spark, n_keys=5, n_repos=2, n_slots=5)
+    shape = lambda dt: [(f.name, f.dataType.simpleString()) for f in dt.fields]  # noqa: E731
+    assert shape(g.schema["source"].dataType) == shape(envl.schema["source"].dataType)
