@@ -119,8 +119,9 @@ class LakeTable:
 
         if not LakeTable.exists(path):
             return False
-        # take the writer lock first so an in-flight commit finishes
-        with LakeTable(path)._writer_lock():
+        # BLOCKING lock: wait for an in-flight commit to finish rather
+        # than failing the drop out from under a live writer
+        with LakeTable(path)._writer_lock(blocking=True):
             shutil.rmtree(path, ignore_errors=True)
         return True
 
@@ -163,13 +164,16 @@ class LakeTable:
 
     # ------------------------------------------------------------------ lock
     @contextmanager
-    def _writer_lock(self):
+    def _writer_lock(self, blocking: bool = False):
         """Single-writer exclusion via a kernel advisory lock (flock), the
         same mechanism as the reference's java.nio FileLock
         (FileOffsetWriter.java). A crashed writer's lock is released by
         the kernel when its fd closes, so there is NO steal protocol and
         no steal race (the previous pid-file scheme had a TOCTOU window
         where two stealers of a dead writer's lock could both win).
+
+        ``blocking=True`` waits for the current holder instead of raising
+        (used by drop: an in-flight commit must finish before teardown).
 
         The LOCK file is deliberately never unlinked: unlink+recreate is
         the classic flock hazard (a waiter holding the old inode and a
@@ -183,7 +187,8 @@ class LakeTable:
         fd = os.open(lock, os.O_CREAT | os.O_RDWR)
         try:
             try:
-                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                flags = fcntl.LOCK_EX if blocking else fcntl.LOCK_EX | fcntl.LOCK_NB
+                fcntl.flock(fd, flags)
             except OSError:
                 raise ConcurrentWriteError(f"another writer holds {lock}")
             os.ftruncate(fd, 0)
@@ -399,7 +404,11 @@ class LakeTable:
         mode any other read-time cast would either throw on old files or
         silently change values):
           * identical type;
-          * widening within the integer/float ladder;
+          * integer widening (tinyint→smallint→int→bigint);
+          * integer → float/double ONLY where the full integer range
+            fits the mantissa (tinyint/smallint → float or double;
+            int → double; bigint → NEITHER — 2^62+1 would silently
+            round), and float → double;
           * decimal(p1,s1) -> decimal(p2,s2) with s2 >= s1 and
             p2-s2 >= p1-s1 (integer digits and scale both grow);
           * integer family -> decimal with enough integer digits;
@@ -414,7 +423,15 @@ class LakeTable:
         old = {f["name"]: f["type"] for f in self.current_fields()}
         if name not in old:
             raise ValueError(f"no such column: {name}")
-        _WIDEN_ORDER = ["tinyint", "smallint", "int", "bigint", "float", "double"]
+        # value-preserving numeric transitions only: every representable
+        # value of the source type must round-trip through the target
+        _SAFE_WIDEN = {
+            "tinyint": {"smallint", "int", "bigint", "float", "double"},
+            "smallint": {"int", "bigint", "float", "double"},
+            "int": {"bigint", "double"},  # NOT float (24-bit mantissa)
+            "bigint": set(),  # NOT float/double (53-bit mantissa)
+            "float": {"double"},
+        }
         _INT_DIGITS = {"tinyint": 3, "smallint": 5, "int": 10, "bigint": 19}
         o, n = old[name], T._parse_datatype_string(dtype).simpleString()
 
@@ -423,8 +440,8 @@ class LakeTable:
             return (int(m.group(1)), int(m.group(2))) if m else None
 
         ok = o == n or n == "string"
-        if not ok and o in _WIDEN_ORDER and n in _WIDEN_ORDER:
-            ok = _WIDEN_ORDER.index(n) > _WIDEN_ORDER.index(o)
+        if not ok:
+            ok = n in _SAFE_WIDEN.get(o, set())
         if not ok:
             od, nd = _dec(o), _dec(n)
             if od and nd:

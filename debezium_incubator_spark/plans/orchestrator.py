@@ -26,13 +26,13 @@ from __future__ import annotations
 
 import json
 import os
-import uuid
 import warnings
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from debezium_incubator_spark.lake.checkpoint import _atomic_write
 from debezium_incubator_spark.lake.table import LakeTable
 from debezium_incubator_spark.plans.pipeline import CDCEngine
 
@@ -54,15 +54,6 @@ class TableSlice:
     def range(self, spark: SparkSession, start_exclusive: int, end_inclusive: int) -> DataFrame:
         df = self.inner.range(spark, start_exclusive, end_inclusive)
         return df.filter(F.col(self.table_field) == F.lit(self.table))
-
-
-def _atomic_write(path: str, data: str) -> None:
-    tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
-    with open(tmp, "w") as f:
-        f.write(data)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, path)
 
 
 class MultiTableCDC:
@@ -147,14 +138,19 @@ class MultiTableCDC:
         return eng
 
     def drop_table(self, name: str) -> bool:
-        eng = self.engines.pop(name, None)
-        reg = self._registry()
-        reg.pop(name, None)
-        self._save_registry(reg)
+        """Storage teardown FIRST (blocking on any in-flight commit),
+        deregistration after — a failed drop leaves the table registered
+        and managed rather than orphaning its data directory."""
+        eng = self.engines.get(name)
         path = (
             eng.table_path if eng is not None else os.path.join(self.root, "tables", name)
         )
-        return LakeTable.drop(path)
+        dropped = LakeTable.drop(path)
+        self.engines.pop(name, None)
+        reg = self._registry()
+        reg.pop(name, None)
+        self._save_registry(reg)
+        return dropped
 
     def apply_ddl_statements(self, statements: list[str]) -> int:
         """Route parsed DDL by its table: CREATE TABLE provisions a new
@@ -179,7 +175,14 @@ class MultiTableCDC:
                 name = ci.get(name.lower(), name.lower())
             kind = action.get("action")
             if kind == "create_table":
-                schema_from_create_action(action)  # validate before registering
+                try:
+                    schema_from_create_action(action)  # validate before registering
+                except ValueError as e:
+                    # warn-and-continue like every other malformed-DDL
+                    # path (the reference's contract): one bad statement
+                    # must not abort the rest of the batch
+                    warnings.warn(f"CREATE TABLE {tbl} skipped: {e}")
+                    continue
                 self.create_table(name, ddl_action=action)
                 applied += 1
             elif kind == "drop_table":
@@ -221,6 +224,52 @@ class MultiTableCDC:
             out[name] = eng.run(sl, offsets_per_epoch=offsets_per_epoch, max_epochs=max_epochs)
         return out
 
+    def apply_batch(self, batch: DataFrame, table_field: str = "source.table") -> None:
+        """Apply ONE shared micro-batch across every registered table —
+        the streaming form of run(): rows route by ``table_field``, each
+        engine's own D1/replay guards absorb redelivery, and a table
+        with no rows in the batch heartbeats (its epoch still advances,
+        ≙ K5). A batch that MIXES offsets at-or-below a table's
+        checkpointed position with new ones means delivery order is not
+        offset order — fail loudly (same contract as StreamingCDC).
+        Used by StreamingMultiTableCDC's foreachBatch."""
+        from debezium_incubator_spark.streaming.stream import OutOfOrderDeliveryError
+
+        # ONE stats pass, bounds per table: positions legitimately
+        # diverge (a table caught up further in batch mode, or attached
+        # later), so the out-of-order check must see only THAT table's
+        # rows — whole-batch bounds would wedge the stream on another
+        # table's new offsets
+        stats = {
+            r["__t"]: (int(r["n"]), int(r["lo"]), int(r["top"]))
+            for r in batch.groupBy(F.col(table_field).alias("__t"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min("offset").alias("lo"),
+                F.max("offset").alias("top"),
+            )
+            .collect()
+        }
+        global_top = max((t for _, _, t in stats.values()), default=-1)
+        for name, eng in self.engines.items():
+            ckpt = eng._reconcile(eng.store.latest())
+            last = int(ckpt.get("stream_pos", -1))
+            n_t, lo_t, top_t = stats.get(name, (0, -1, -1))
+            if n_t == 0:
+                # K5 heartbeat; advance to the batch top (this table has
+                # no rows at or below it, delivery is offset-ordered)
+                eng.apply_epoch(
+                    batch.filter(F.lit(False)), stream_pos=max(global_top, last), ckpt=ckpt
+                )
+                continue
+            if lo_t <= last < top_t:
+                raise OutOfOrderDeliveryError(
+                    f"table {name}: batch spans checkpointed stream_pos={last}: "
+                    f"offsets [{lo_t}, {top_t}]"
+                )
+            rows = batch.filter(F.col(table_field) == F.lit(name))
+            eng.apply_epoch(rows, stream_pos=max(global_top, last), ckpt=ckpt)
+
     # ------------------------------------------------------------- reads / metrics
     def final_state(self, name: str) -> DataFrame:
         return self.engines[name].final_state()
@@ -229,3 +278,52 @@ class MultiTableCDC:
         """Per-table counters + lineage (≙ per-table offset files,
         FileOffsetWriter.java:75-118)."""
         return {name: eng.metrics() for name, eng in self.engines.items()}
+
+
+class StreamingMultiTableCDC:
+    """Structured-Streaming driver for the orchestrator: ONE readStream
+    over the shared changelog, each micro-batch routed to every
+    registered table inside foreachBatch (the reference's single agent
+    thread feeding all CDC-enabled tables). Exactly-once still rests on
+    each table's commit-THEN-checkpoint core; Spark's own stream
+    checkpoint only tracks which files were delivered."""
+
+    def __init__(
+        self,
+        orch: MultiTableCDC,
+        changelog_dir: str,
+        stream_checkpoint_dir: str,
+        max_files_per_trigger: int = 8,
+        payload_fields: list[tuple[str, str]] | None = None,
+    ):
+        from debezium_incubator_spark.operators.envelope import changelog_schema
+
+        self.orch = orch
+        self.changelog_dir = changelog_dir
+        self.stream_checkpoint_dir = stream_checkpoint_dir
+        self.max_files_per_trigger = max_files_per_trigger
+        self.schema = changelog_schema(payload_fields)
+
+    def _apply_batch(self, batch_df, epoch_id: int) -> None:
+        self.orch.apply_batch(batch_df)
+
+    def start(self, spark: SparkSession, available_now: bool = True):
+        reader = (
+            spark.readStream.schema(self.schema)
+            .option("maxFilesPerTrigger", str(self.max_files_per_trigger))
+            .parquet(self.changelog_dir)
+        )
+        writer = (
+            reader.writeStream.foreachBatch(self._apply_batch)
+            .option("checkpointLocation", self.stream_checkpoint_dir)
+            .outputMode("append")
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    def run_until_caught_up(self, spark: SparkSession, timeout_s: float = 300.0) -> None:
+        q = self.start(spark, available_now=True)
+        q.awaitTermination(timeout_s)
+        if q.isActive:
+            q.stop()

@@ -205,7 +205,10 @@ class CDCEngine:
         )
         mismatches = (
             cur.join(F.broadcast(firsts), self.key_cols)
-            .filter(F.col("content_sha256") != F.col("__exp_sha"))
+            # null-safe: a committed NULL sha against a non-null expected
+            # before-image IS a mismatch (plain != would return NULL and
+            # silently drop the row)
+            .filter(~F.col("content_sha256").eqNullSafe(F.col("__exp_sha")))
             .count()
         )
         return int(mismatches)
@@ -333,7 +336,16 @@ class CDCEngine:
         pre = self._prefilter(events)
         audit_counters = None
         if self.audit_before and not is_snapshot and "before" in pre.columns:
-            audit_counters = {"before_image_mismatch": self._audit_before_images(pre)}
+            # audit AFTER the replay guard: a redelivered micro-batch's
+            # events would otherwise be compared against the table state
+            # that already includes them — spurious mismatches on a
+            # perfectly consistent stream
+            pre_a = filter_processed(
+                self.table.with_bucket(pre),
+                ckpt.get("max_offsets", {}),
+                num_buckets=self.table.manifest()["num_buckets"],
+            ).drop(BUCKET_COL)
+            audit_counters = {"before_image_mismatch": self._audit_before_images(pre_a)}
         flat = self._unwrap(pre, renames)
         flat = self.table.with_bucket(flat)
         if not is_snapshot:

@@ -236,7 +236,22 @@ def schema_from_create_action(action: dict) -> tuple[list[tuple[str, str]], list
     if not fields:
         raise ValueError(f"create_table for {action.get('table')!r} carries no columns")
     names = {n for n, _ in fields}
-    pk = [c for c in action.get("primary_key", []) if c in names]
+    by_ci = {n.lower(): n for n, _ in fields}
+    pk = []
+    for c in action.get("primary_key", []):
+        if c in names:
+            pk.append(c)
+        elif c.lower() in by_ci:
+            # unquoted PK names fold to UPPER while quoted column names
+            # keep case — resolve case-insensitively rather than silently
+            # dropping the key (bucketing on the wrong columns would only
+            # surface as an opaque failure at the first epoch)
+            pk.append(by_ci[c.lower()])
+        else:
+            raise ValueError(
+                f"create_table for {action.get('table')!r}: PRIMARY KEY column "
+                f"{c!r} is not among the declared columns {sorted(names)}"
+            )
     return fields, pk
 
 

@@ -48,8 +48,17 @@ def main():
             orch.create_table(name.strip())
 
     if args.ddl_file:
+        import re
+
         with open(args.ddl_file) as f:
-            stmts = [s.strip() for s in f.read().split(";") if s.strip()]
+            # ;-separated AND newline-separated (a newline followed by a
+            # DDL keyword starts a new statement even without a ';' —
+            # otherwise the greedy CREATE body regex would swallow the
+            # following statements into one corrupt column list)
+            parts = re.split(
+                r";|\n(?=\s*(?:CREATE|ALTER|DROP|GRANT)\b)", f.read(), flags=re.IGNORECASE
+            )
+        stmts = [s.strip() for s in parts if s and s.strip()]
         orch.apply_ddl_statements([s + ";" for s in stmts])
 
     if args.source:

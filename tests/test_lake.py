@@ -176,30 +176,39 @@ def test_modify_column_transition_whitelist(spark, tmp_table):
     refused (an unchecked metadata change would make the ANSI read-time
     cast of old files throw or silently corrupt values)."""
     t = _mk(spark, tmp_table, [("r1", "p1", 1)])
-    # in-ladder widening + any->string + date->timestamp + decimal growth
-    t.modify_column("v", "double")
+    # mantissa-safe widening + any->string + date->timestamp + decimal growth
     t.add_column("d", "date")
     t.modify_column("d", "timestamp")
     t.add_column("n", "decimal(6,2)")
     t.modify_column("n", "decimal(10,4)")  # int digits 4->6, scale 2->4
     t.add_column("i", "int")
     t.modify_column("i", "decimal(12,2)")  # 10 int digits fit
-    t.modify_column("v", "string")
-    # refused: cross-family, narrowing, decimal shrink, timestamp->date
+    t.add_column("si", "smallint")
+    t.modify_column("si", "float")         # 16-bit int fits a 24-bit mantissa
+    t.modify_column("si", "double")        # float -> double
+    t.add_column("j", "int")
+    t.modify_column("j", "bigint")
+    t.modify_column("v", "string")         # bigint -> string (total cast)
+    # refused: cross-family, narrowing, decimal shrink, timestamp->date,
+    # and the mantissa-LOSSY float/double paths
+    t.add_column("v2", "bigint")
+    t.add_column("k", "int")
     for col, bad in [
         ("v", "int"),            # string -> int
         ("n", "decimal(9,4)"),   # int digits 6 -> 5
         ("n", "decimal(12,2)"),  # scale 4 -> 2
         ("d", "date"),           # timestamp -> date
         ("i", "double"),         # decimal -> double loses precision
+        ("v2", "double"),        # bigint 2^62+1 would round in a 53-bit mantissa
+        ("v2", "float"),
+        ("k", "float"),          # int 2^31-1 would round in a 24-bit mantissa
     ]:
         with pytest.raises(ValueError, match="lossless"):
             t.modify_column(col, bad)
     # int -> decimal with too few integer digits is refused
-    t.add_column("j", "int")
     with pytest.raises(ValueError, match="lossless"):
-        t.modify_column("j", "decimal(9,2)")
-    # data written before the widenings still reads (v went long->double->string)
+        t.modify_column("k", "decimal(9,2)")
+    # data written before the widenings still reads (v went long->string)
     assert t.read(spark).select("v").first()[0] == "1"
 
 

@@ -170,3 +170,37 @@ def test_engine_provision_from_ddl_then_apply(spark, tmp_path):
     # re-provisioning an existing table warns and keeps the schema
     with pytest.warns(UserWarning, match="already provisioned"):
         eng.apply_ddl_events([action])
+
+
+def test_streaming_multi_table_matches_batch(spark, tmp_path, fixtures):
+    """One readStream feeds every registered table via foreachBatch
+    (StreamingMultiTableCDC): converges to the same per-table state as
+    the batch loop; tables without rows in a micro-batch heartbeat."""
+    import time
+
+    from debezium_incubator_spark.plans.orchestrator import StreamingMultiTableCDC
+
+    src, log = fixtures
+    expected = {n: _final(_clean_run(spark, tmp_path, src, log, sub="clean3"), n)
+                for n in ("files_00", "files_01")}
+
+    log_dir = str(tmp_path / "schlog")
+    top = int(log.agg(F.max("offset")).first()[0])
+    half = top // 2
+    for cond in (F.col("offset") <= half, F.col("offset") > half):
+        log.filter(cond).coalesce(1).write.mode("append").parquet(log_dir)
+        time.sleep(0.05)  # distinct mtimes → deterministic file order
+
+    root = str(tmp_path / "sroot")
+    orch = MultiTableCDC(spark, root, num_buckets=4)
+    orch.create_table("files_00")
+    orch.create_table("files_01")
+    orch.bootstrap(src)
+    s = StreamingMultiTableCDC(orch, log_dir, str(tmp_path / "sck"), max_files_per_trigger=1)
+    s.run_until_caught_up(spark, timeout_s=240)
+
+    for name in ("files_00", "files_01"):
+        assert _final(orch, name) == expected[name]
+    m = orch.metrics()
+    # both tables processed ≥2 micro-batches and share the stream position
+    assert m["files_00"]["epoch"] >= 2 and m["files_01"]["epoch"] >= 2
