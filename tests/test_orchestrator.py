@@ -204,3 +204,44 @@ def test_streaming_multi_table_matches_batch(spark, tmp_path, fixtures):
     m = orch.metrics()
     # both tables processed ≥2 micro-batches and share the stream position
     assert m["files_00"]["epoch"] >= 2 and m["files_01"]["epoch"] >= 2
+
+
+def test_apply_batch_out_of_order_is_per_table(spark, tmp_path, fixtures):
+    """The streaming out-of-order guard uses PER-TABLE offset bounds: a
+    batch whose new offsets belong only to table B must not wedge table
+    A (whole-batch bounds would); a batch genuinely spanning A's own
+    position raises."""
+    from debezium_incubator_spark.streaming.stream import OutOfOrderDeliveryError
+
+    src, log = fixtures
+    orch = MultiTableCDC(spark, str(tmp_path / "oo"), num_buckets=4)
+    orch.create_table("files_00")
+    orch.create_table("files_01")
+    orch.bootstrap(src)
+    a_off = log.filter(F.col("source.table") == "files_00").select("offset")
+    cut = int(a_off.agg(F.expr("percentile_approx(offset, 0.5)")).first()[0])
+    # catch table A up to `cut`; B stays behind
+    orch.engines["files_00"].run(
+        __import__("debezium_incubator_spark.sources.changelog", fromlist=["DataFrameChangelog"])
+        .DataFrameChangelog(log.filter(F.col("source.table") == "files_00")),
+        offsets_per_epoch=cut + 1,
+        max_epochs=1,
+    )
+    last_a = int(orch.engines["files_00"].store.latest()["stream_pos"])
+    assert 0 < last_a
+    # a batch spanning A's OWN position raises (and leaves state untouched
+    # — the guard fires before any engine applies)
+    spanning = log.filter(F.col("source.table") == "files_00")
+    assert int(spanning.agg(F.max("offset")).first()[0]) > last_a
+    with pytest.raises(OutOfOrderDeliveryError, match="files_00"):
+        orch.apply_batch(spanning)
+    assert int(orch.engines["files_00"].store.latest()["stream_pos"]) == last_a
+    # batch: A rows all at-or-below A's position (pure redelivery for A),
+    # B rows beyond it — must NOT raise, and B applies (whole-batch
+    # bounds would have wedged A here)
+    mixed = log.filter(
+        ((F.col("source.table") == "files_00") & (F.col("offset") <= last_a))
+        | (F.col("source.table") == "files_01")
+    )
+    orch.apply_batch(mixed)
+    assert orch.engines["files_01"].metrics()["counters"]["events_in"] > 0
