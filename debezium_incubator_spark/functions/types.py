@@ -56,11 +56,20 @@ def cassandra_to_spark(
     type_name: str, decimal_parity_mode: bool = False
 ) -> T.DataType:
     base = type_name.strip().lower()
+    # frozen<> is a storage property, not a logical type: the converter
+    # preserves frozen-ness on the Cassandra side
+    # (CassandraTypeConverterTest.java:176-199 frozen list/map/set cases)
+    # but the element/value types are identical — unwrap recursively
+    if base.startswith("frozen<") and base.endswith(">"):
+        return cassandra_to_spark(base[7:-1], decimal_parity_mode)
     if base.startswith("list<") or base.startswith("set<"):
         inner = base[base.index("<") + 1 : -1]
         return T.ArrayType(cassandra_to_spark(inner, decimal_parity_mode))
     if base.startswith("map<"):
-        k, v = base[4:-1].split(",", 1)
+        # depth-aware split: the KEY may itself be generic
+        # (map<frozen<list<int>>, text> is legal CQL) — a naive
+        # split(',', 1) would cut inside the key's type arguments
+        k, v = _split_args(base[4:-1])
         # map keys coerced to string (MapTypeDeserializer.java:20-50)
         return T.MapType(T.StringType(), cassandra_to_spark(v, decimal_parity_mode))
     if base.startswith("tuple<"):

@@ -123,3 +123,51 @@ def test_duration_struct(spark):
         tp.duration_struct(F.col("m"), F.col("d"), F.col("n")).alias("dur")
     ).first()["dur"]
     assert (got["months"], got["days"], got["nanos"]) == (1, 2, 3)
+
+
+def test_cassandra_type_converter_matrix():
+    """Port of CassandraTypeConverterTest.java:45-230 — the CQL →
+    engine-type matrix, incl. the frozen<> cases (frozen is a storage
+    property: element types convert identically) and nested generics."""
+    import pyspark.sql.types as T
+
+    from debezium_incubator_spark.functions.types import cassandra_to_spark as c2s
+
+    assert c2s("ascii") == T.StringType()
+    assert c2s("text") == T.StringType()
+    assert c2s("varchar") == T.StringType()
+    assert c2s("blob") == T.BinaryType()
+    assert c2s("bigint") == T.LongType()
+    assert c2s("counter") == T.LongType()
+    assert c2s("boolean") == T.BooleanType()
+    assert c2s("tinyint") == T.ByteType()
+    assert c2s("smallint") == T.ShortType()
+    assert c2s("int") == T.IntegerType()
+    assert c2s("float") == T.FloatType()
+    assert c2s("double") == T.DoubleType()
+    assert c2s("date") == T.DateType()
+    # decimal: exact by default; reference-parity mode is the lossy
+    # double (CassandraTypeDeserializer decimal → double)
+    assert c2s("decimal", decimal_parity_mode=True) == T.DoubleType()
+    # frozen vs non-frozen convert to the same logical type
+    assert c2s("list<int>") == T.ArrayType(T.IntegerType())
+    assert c2s("frozen<list<int>>") == T.ArrayType(T.IntegerType())
+    assert c2s("set<text>") == T.ArrayType(T.StringType())
+    assert c2s("frozen<set<text>>") == T.ArrayType(T.StringType())
+    assert c2s("map<text,int>") == T.MapType(T.StringType(), T.IntegerType())
+    assert c2s("frozen<map<text,int>>") == T.MapType(T.StringType(), T.IntegerType())
+    # nested generics: a generic KEY must not break the map split
+    assert c2s("map<frozen<list<int>>, text>") == T.MapType(
+        T.StringType(), T.StringType()
+    )
+    assert c2s("map<text, frozen<map<text,bigint>>>") == T.MapType(
+        T.StringType(), T.MapType(T.StringType(), T.LongType())
+    )
+    assert c2s("list<frozen<tuple<int,text>>>") == T.ArrayType(
+        T.StructType(
+            [
+                T.StructField("field1", T.IntegerType()),
+                T.StructField("field2", T.StringType()),
+            ]
+        )
+    )
