@@ -270,6 +270,54 @@ class MultiTableCDC:
             rows = batch.filter(F.col(table_field) == F.lit(name))
             eng.apply_epoch(rows, stream_pos=max(global_top, last), ckpt=ckpt)
 
+    # ------------------------------------------------------------- maintenance
+    def maintain(
+        self,
+        changelog_dir: str | None = None,
+        keep_last: int = 3,
+        compact_min_files: int = 4,
+        gc_mode: str = "archive",
+    ) -> dict[str, Any]:
+        """Background maintenance across the table set (K4 at the agent
+        level ≙ QueueProcessor.java:85-106 post-processing): per-table
+        small-file compaction + version GC, then SHARED-changelog GC.
+
+        The shared changelog serves EVERY table, so a segment is
+        expendable only when every table has processed past it — the
+        combined watermark is the min across all tables' per-bucket
+        marks. A table still catching up (or missing marks for some
+        bucket) blocks GC entirely: conservative, never lossy."""
+        from debezium_incubator_spark.sources.gc import expire_changelog_files
+
+        out: dict[str, Any] = {"compacted": {}, "expired_versions": {}, "archived": []}
+        for name, eng in self.engines.items():
+            out["compacted"][name] = eng.table.compact(
+                self.spark, min_files=compact_min_files
+            )
+            out["expired_versions"][name] = eng.table.expire_versions(keep_last=keep_last)
+        if changelog_dir:
+            combined: dict[str, int] = {}
+            complete = True
+            for name, eng in self.engines.items():
+                marks = eng._reconcile(eng.store.latest()).get("max_offsets", {})
+                nb = eng.table.manifest()["num_buckets"]
+                if len(marks) < nb:
+                    complete = False  # this table hasn't touched every bucket yet
+                    break
+                for b, v in marks.items():
+                    combined[f"{name}:{b}"] = int(v)
+            if complete and combined:
+                counters: dict[str, int] = {}
+                out["archived"] = expire_changelog_files(
+                    changelog_dir,
+                    combined,
+                    num_buckets=len(combined),
+                    mode=gc_mode,
+                    counters=counters,
+                )
+                out["gc_counters"] = counters
+        return out
+
     # ------------------------------------------------------------- reads / metrics
     def final_state(self, name: str) -> DataFrame:
         return self.engines[name].final_state()

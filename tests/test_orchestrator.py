@@ -10,7 +10,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from debezium_incubator_spark.lake.table import LakeTable
-from debezium_incubator_spark.plans.orchestrator import MultiTableCDC
+from debezium_incubator_spark.plans.orchestrator import MultiTableCDC, TableSlice
 from debezium_incubator_spark.sources.changelog import DataFrameChangelog
 from debezium_incubator_spark.sources.generator import gen_changelog, gen_source_table
 
@@ -245,3 +245,43 @@ def test_apply_batch_out_of_order_is_per_table(spark, tmp_path, fixtures):
     )
     orch.apply_batch(mixed)
     assert orch.engines["files_01"].metrics()["counters"]["events_in"] > 0
+
+
+def test_maintain_shared_changelog_gc(spark, tmp_path, fixtures):
+    """Orchestrator-level K4: the shared changelog GC's watermark is the
+    MIN across all tables — a lagging table blocks segment archival;
+    once every table is caught up, fully-processed segments archive."""
+    import os as _os
+
+    src, log = fixtures
+    log_dir = str(tmp_path / "gclog")
+    top = int(log.agg(F.max("offset")).first()[0])
+    half = top // 2
+    for cond in (F.col("offset") <= half, F.col("offset") > half):
+        log.filter(cond).coalesce(1).write.mode("append").parquet(log_dir)
+
+    from debezium_incubator_spark.sources.changelog import ParquetChangelog
+
+    orch = MultiTableCDC(spark, str(tmp_path / "gcroot"), num_buckets=4)
+    orch.create_table("files_00")
+    orch.create_table("files_01")
+    orch.bootstrap(src)
+    # files_00 fully caught up; files_01 lags at the first half
+    orch.engines["files_00"].run(
+        TableSlice(ParquetChangelog(log_dir), "files_00"), offsets_per_epoch=top + 1
+    )
+    orch.engines["files_01"].run(
+        TableSlice(ParquetChangelog(log_dir), "files_01"),
+        offsets_per_epoch=half + 1,
+        max_epochs=1,
+    )
+    r1 = orch.maintain(changelog_dir=log_dir)
+    assert r1["archived"] == []  # the lagging table blocks GC
+    # catch files_01 up → the first-half segment becomes expendable
+    orch.engines["files_01"].run(
+        TableSlice(ParquetChangelog(log_dir), "files_01"), offsets_per_epoch=top + 1
+    )
+    r2 = orch.maintain(changelog_dir=log_dir)
+    assert len(r2["archived"]) >= 1
+    assert _os.path.isdir(_os.path.join(log_dir, "_archive"))
+
