@@ -34,6 +34,9 @@ def main():
     p.add_argument("--num-buckets", type=int, default=64)
     p.add_argument("--offsets-per-epoch", type=int, default=1_000_000)
     p.add_argument("--source-table-col", default="src_table")
+    p.add_argument("--maintain", action="store_true",
+                   help="after catch-up: per-table compaction/version GC + "
+                        "shared-changelog archival (min watermark across tables)")
     args = p.parse_args()
 
     from pyspark.sql import SparkSession
@@ -66,6 +69,8 @@ def main():
         orch.bootstrap(src, table_col=args.source_table_col)
 
     orch.run(ParquetChangelog(args.changelog), offsets_per_epoch=args.offsets_per_epoch)
+    if args.maintain:
+        orch.maintain(changelog_dir=args.changelog)
     print(json.dumps(orch.metrics()))
     spark.stop()
 
