@@ -168,7 +168,7 @@ def oracle_to_spark(type_name: str, precision=None, scale=None) -> T.DataType:
 #                           the JVM set's iteration order is not)
 #   MapTypeDeserializer   → map, keys stringified when not already string
 #                           (Avro map keys must be strings)
-#   TupleTypeDeserializer → struct with fields field0..fieldN
+#   TupleTypeDeserializer → struct with fields field1..fieldN (1-based)
 #   UserTypeDeserializer  → struct with the UDT's own field names
 
 
@@ -194,12 +194,14 @@ def map_string_keys(col: Column) -> Column:
 
 
 def tuple_field_name(i: int) -> str:
-    """TupleTypeDeserializer.FIELD_NAME_PREFIX + index."""
-    return f"field{i}"
+    """TupleTypeDeserializer field naming — 'begin indexing at 1'
+    (TupleTypeDeserializer.java:71-74): field1..fieldN. Must agree with
+    cassandra_to_spark's tuple schema (same module, same names)."""
+    return f"field{i + 1}"
 
 
 def tuple_to_struct(*cols: Column) -> Column:
-    """TupleTypeDeserializer: positional tuple → record{field0..fieldN}."""
+    """TupleTypeDeserializer: positional tuple → record{field1..fieldN}."""
     return F.struct(*[c.alias(tuple_field_name(i)) for i, c in enumerate(cols)])
 
 

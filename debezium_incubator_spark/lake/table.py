@@ -191,6 +191,19 @@ class LakeTable:
                 fcntl.flock(fd, flags)
             except OSError:
                 raise ConcurrentWriteError(f"another writer holds {lock}")
+            # generation check: drop() removes the whole table directory,
+            # so a waiter can win the flock on an ORPHANED inode while a
+            # re-created table has a fresh LOCK file. Holding the orphan
+            # is not holding the lock — verify the path still resolves to
+            # our inode before touching any state.
+            try:
+                cur_ino = os.stat(lock).st_ino
+            except FileNotFoundError:
+                raise ConcurrentWriteError(f"table dropped while waiting for {lock}")
+            if os.fstat(fd).st_ino != cur_ino:
+                raise ConcurrentWriteError(
+                    f"lock superseded (table dropped/recreated): {lock}"
+                )
             os.ftruncate(fd, 0)
             os.write(fd, str(os.getpid()).encode())
             yield

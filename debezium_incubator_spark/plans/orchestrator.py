@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 from debezium_incubator_spark.lake.checkpoint import _atomic_write
 from debezium_incubator_spark.lake.table import LakeTable
 from debezium_incubator_spark.plans.pipeline import CDCEngine
+from debezium_incubator_spark.streaming.stream import StreamingCDC
 
 
 class TableSlice:
@@ -233,42 +234,70 @@ class MultiTableCDC:
         checkpointed position with new ones means delivery order is not
         offset order — fail loudly (same contract as StreamingCDC).
         Used by StreamingMultiTableCDC's foreachBatch."""
+        from pyspark import StorageLevel
+
         from debezium_incubator_spark.streaming.stream import OutOfOrderDeliveryError
 
-        # ONE stats pass, bounds per table: positions legitimately
-        # diverge (a table caught up further in batch mode, or attached
-        # later), so the out-of-order check must see only THAT table's
-        # rows — whole-batch bounds would wedge the stream on another
-        # table's new offsets
-        stats = {
-            r["__t"]: (int(r["n"]), int(r["lo"]), int(r["top"]))
-            for r in batch.groupBy(F.col(table_field).alias("__t"))
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                F.min("offset").alias("lo"),
-                F.max("offset").alias("top"),
-            )
-            .collect()
-        }
-        global_top = max((t for _, _, t in stats.values()), default=-1)
-        for name, eng in self.engines.items():
-            ckpt = eng._reconcile(eng.store.latest())
-            last = int(ckpt.get("stream_pos", -1))
-            n_t, lo_t, top_t = stats.get(name, (0, -1, -1))
-            if n_t == 0:
-                # K5 heartbeat; advance to the batch top (this table has
-                # no rows at or below it, delivery is offset-ordered)
-                eng.apply_epoch(
-                    batch.filter(F.lit(False)), stream_pos=max(global_top, last), ckpt=ckpt
+        # every engine re-reads the batch (stats + per-table filter +
+        # merge) — persist once, release after the loop (with N tables an
+        # unpersisted batch would be rescanned ~2N+1 times per trigger)
+        batch = batch.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            # ONE stats pass, bounds per table: positions legitimately
+            # diverge (a table caught up further in batch mode, or
+            # attached later), so the out-of-order check must see only
+            # THAT table's rows — whole-batch bounds would wedge the
+            # stream on another table's new offsets. Delivery contract
+            # (same as StreamingCDC): files arrive in GLOBAL offset
+            # order.
+            stats = {
+                r["__t"]: (int(r["n"]), int(r["lo"]), int(r["top"]))
+                for r in batch.groupBy(F.col(table_field).alias("__t"))
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.min("offset").alias("lo"),
+                    F.max("offset").alias("top"),
                 )
-                continue
-            if lo_t <= last < top_t:
-                raise OutOfOrderDeliveryError(
-                    f"table {name}: batch spans checkpointed stream_pos={last}: "
-                    f"offsets [{lo_t}, {top_t}]"
-                )
-            rows = batch.filter(F.col(table_field) == F.lit(name))
-            eng.apply_epoch(rows, stream_pos=max(global_top, last), ckpt=ckpt)
+                .collect()
+            }
+            global_top = max((t for _, _, t in stats.values()), default=-1)
+            for name, eng in self.engines.items():
+                ckpt = eng._reconcile(eng.store.latest())
+                if ckpt.get("phase") == "snapshot":
+                    # same contract as CDCEngine.run(): silently streaming
+                    # into a never-bootstrapped table would flip it to
+                    # stream phase and permanently skip its snapshot base
+                    raise RuntimeError(
+                        f"table {name}: bootstrap() must run before streaming"
+                    )
+                last = int(ckpt.get("stream_pos", -1))
+                n_t, lo_t, top_t = stats.get(name, (0, -1, -1))
+                if n_t == 0:
+                    if last < 0:
+                        # a table that has never applied a stream offset
+                        # (e.g. just provisioned by mid-stream DDL) keeps
+                        # stream_pos=-1 so a batch-mode run() can still
+                        # replay the full changelog history into it;
+                        # advancing it to global_top here would silently
+                        # skip that history forever
+                        continue
+                    # K5 heartbeat; advance to the batch top (this table
+                    # has no rows at or below it, delivery is ordered)
+                    eng.apply_epoch(
+                        batch.filter(F.lit(False)),
+                        stream_pos=max(global_top, last),
+                        ckpt=ckpt,
+                    )
+                    continue
+                if lo_t <= last < top_t:
+                    raise OutOfOrderDeliveryError(
+                        f"table {name}: batch spans checkpointed stream_pos={last}: "
+                        f"offsets [{lo_t}, {top_t}]"
+                    )
+                rows = batch.filter(F.col(table_field) == F.lit(name))
+                eng.apply_epoch(rows, stream_pos=max(global_top, last), ckpt=ckpt)
+        finally:
+            batch.unpersist(blocking=False)
 
     # ------------------------------------------------------------- maintenance
     def maintain(
@@ -294,7 +323,12 @@ class MultiTableCDC:
             out["compacted"][name] = eng.table.compact(
                 self.spark, min_files=compact_min_files
             )
-            out["expired_versions"][name] = eng.table.expire_versions(keep_last=keep_last)
+            # the _reconcile recovery chain needs the manifest parents back
+            # to the last PERSISTED checkpoint (periodic K2 flush policy):
+            # keep_last must cover the engine's checkpoint_interval + 1
+            # or crash recovery loses its chain (pipeline._reconcile)
+            safe_keep = max(keep_last, eng.checkpoint_interval + 1)
+            out["expired_versions"][name] = eng.table.expire_versions(keep_last=safe_keep)
         if changelog_dir:
             combined: dict[str, int] = {}
             complete = True
@@ -328,13 +362,18 @@ class MultiTableCDC:
         return {name: eng.metrics() for name, eng in self.engines.items()}
 
 
-class StreamingMultiTableCDC:
+class StreamingMultiTableCDC(StreamingCDC):
     """Structured-Streaming driver for the orchestrator: ONE readStream
     over the shared changelog, each micro-batch routed to every
     registered table inside foreachBatch (the reference's single agent
     thread feeding all CDC-enabled tables). Exactly-once still rests on
     each table's commit-THEN-checkpoint core; Spark's own stream
-    checkpoint only tracks which files were delivered."""
+    checkpoint only tracks which files were delivered.
+
+    Subclasses StreamingCDC so the reader construction, availableNow
+    drain, continuous processingTime watch, and run_until machinery are
+    shared rather than duplicated — only the per-batch routing differs.
+    """
 
     def __init__(
         self,
@@ -344,34 +383,19 @@ class StreamingMultiTableCDC:
         max_files_per_trigger: int = 8,
         payload_fields: list[tuple[str, str]] | None = None,
     ):
-        from debezium_incubator_spark.operators.envelope import changelog_schema
-
+        super().__init__(
+            engine=None,  # the orchestrator's engines replace the single engine
+            changelog_dir=changelog_dir,
+            stream_checkpoint_dir=stream_checkpoint_dir,
+            max_files_per_trigger=max_files_per_trigger,
+            payload_fields=payload_fields,
+        )
         self.orch = orch
-        self.changelog_dir = changelog_dir
-        self.stream_checkpoint_dir = stream_checkpoint_dir
-        self.max_files_per_trigger = max_files_per_trigger
-        self.schema = changelog_schema(payload_fields)
 
     def _apply_batch(self, batch_df, epoch_id: int) -> None:
         self.orch.apply_batch(batch_df)
 
-    def start(self, spark: SparkSession, available_now: bool = True):
-        reader = (
-            spark.readStream.schema(self.schema)
-            .option("maxFilesPerTrigger", str(self.max_files_per_trigger))
-            .parquet(self.changelog_dir)
-        )
-        writer = (
-            reader.writeStream.foreachBatch(self._apply_batch)
-            .option("checkpointLocation", self.stream_checkpoint_dir)
-            .outputMode("append")
-        )
-        if available_now:
-            writer = writer.trigger(availableNow=True)
-        return writer.start()
-
-    def run_until_caught_up(self, spark: SparkSession, timeout_s: float = 300.0) -> None:
-        q = self.start(spark, available_now=True)
-        q.awaitTermination(timeout_s)
-        if q.isActive:
-            q.stop()
+    def run_until(self, spark: SparkSession, stop_condition, **kw) -> None:
+        """Continuous-watch form; ``stop_condition`` receives the
+        ORCHESTRATOR (the single-table base passes its engine)."""
+        return super().run_until(spark, lambda _eng: stop_condition(self.orch), **kw)

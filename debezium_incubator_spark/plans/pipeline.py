@@ -451,7 +451,17 @@ class CDCEngine:
             elif action == "modify_column":
                 self.table.modify_column(r["name"], r.get("dtype", "string"))
             elif action == "create_table":
-                self.provision_from_ddl(r)
+                try:
+                    self.provision_from_ddl(r)
+                except ValueError as e:
+                    # malformed CREATE (no columns, PK referencing an
+                    # undeclared column): warn-and-continue like every
+                    # other unhandled-DDL path — one bad statement must
+                    # not abort the rest of the batch
+                    import warnings
+
+                    warnings.warn(f"CREATE TABLE {r.get('table')} skipped: {e}")
+                    continue
             elif action == "drop_table":
                 if not LakeTable.drop(self.table_path):
                     import warnings

@@ -55,11 +55,14 @@ def main():
 
         with open(args.ddl_file) as f:
             # ;-separated AND newline-separated (a newline followed by a
-            # DDL keyword starts a new statement even without a ';' —
-            # otherwise the greedy CREATE body regex would swallow the
-            # following statements into one corrupt column list)
+            # statement-STARTING keyword opens a new statement even
+            # without a ';'). DROP is deliberately NOT in the lookahead:
+            # a multi-line "ALTER TABLE t\n  DROP (a, b);" legally
+            # continues with DROP, and splitting there would discard the
+            # column drop — DROP TABLE statements therefore need a ';'
+            # or their own line-initial position after a ';'.
             parts = re.split(
-                r";|\n(?=\s*(?:CREATE|ALTER|DROP|GRANT)\b)", f.read(), flags=re.IGNORECASE
+                r";|\n(?=\s*(?:CREATE|ALTER|GRANT)\b)", f.read(), flags=re.IGNORECASE
             )
         stmts = [s.strip() for s in parts if s and s.strip()]
         orch.apply_ddl_statements([s + ";" for s in stmts])

@@ -20,7 +20,7 @@ NESTED_PAYLOAD = [
     ("commit", "string"),
     ("tags", "array<string>"),                 # list / set
     ("attrs", "map<string,bigint>"),           # map
-    ("geo", "struct<field0:double,field1:double>"),  # tuple → field0/field1
+    ("geo", "struct<field1:double,field2:double>"),  # tuple → field1/field2 (1-based, TupleTypeDeserializer.java:71-74)
 ]
 
 
@@ -38,8 +38,8 @@ def test_set_map_tuple_udt_converters(spark):
     ).first()
     assert row["s"] == [1, 2, 3]                      # sorted + dedup
     assert row["m"] == {"1": "a", "2": "b"}           # keys stringified
-    assert row["t"].asDict() == {"field0": 1.5, "field1": -2.5}
-    assert tuple_field_name(0) == "field0"            # TUPLE field naming
+    assert row["t"].asDict() == {"field1": 1.5, "field2": -2.5}
+    assert tuple_field_name(0) == "field1"            # 1-based, matches cassandra_to_spark
     assert row["u"].asDict() == {"lat": 1.0, "lon": 2.0}
 
 
@@ -62,7 +62,7 @@ def test_nested_payload_through_engine(spark, tmp_path):
             ("r1", "b", "c0", ["z"], {"n": 2}, (3.0, 4.0)),
         ],
         "repo string, path string, commit string, tags array<string>, "
-        "attrs map<string,bigint>, geo struct<field0:double,field1:double>",
+        "attrs map<string,bigint>, geo struct<field1:double,field2:double>",
     )
     eng.bootstrap(src)
 
@@ -83,7 +83,7 @@ def test_nested_payload_through_engine(spark, tmp_path):
     a = rows["a"]
     assert a["tags"] == ["p", "q", "p"]  # list order preserved
     assert dict(a["attrs"]) == {"n": 7, "m": 8}
-    assert a["geo"].asDict() == {"field0": 9.0, "field1": -1.0}
+    assert a["geo"].asDict() == {"field1": 9.0, "field2": -1.0}
 
     # DDL-added nested column: null must be typed from the TABLE schema
     eng.apply_ddl_events([{"action": "add_column", "name": "extra", "dtype": "array<int>"}])
