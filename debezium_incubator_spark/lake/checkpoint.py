@@ -73,6 +73,17 @@ class CheckpointStore:
         )
         _atomic_write(os.path.join(self.path, "LATEST"), str(epoch))
 
+    def reset(self) -> None:
+        """Forget all persisted state (DROP TABLE teardown): a re-created
+        table of the same name must start from INITIAL, not inherit the
+        dropped table's phase/stream_pos — a stale ``stream_pos`` would
+        make the replay guard silently skip the full-history replay the
+        fresh table is owed (data loss, not duplicate absorption)."""
+        import shutil
+
+        shutil.rmtree(self.path, ignore_errors=True)
+        os.makedirs(self.path, exist_ok=True)
+
     def rewind_to(self, epoch: int) -> None:
         """Point LATEST at an older epoch (kill/replay tests)."""
         if not os.path.exists(os.path.join(self.path, f"epoch={epoch}.json")):

@@ -120,9 +120,19 @@ class LakeTable:
         if not LakeTable.exists(path):
             return False
         # BLOCKING lock: wait for an in-flight commit to finish rather
-        # than failing the drop out from under a live writer
-        with LakeTable(path)._writer_lock(blocking=True):
-            shutil.rmtree(path, ignore_errors=True)
+        # than failing the drop out from under a live writer. A
+        # CONCURRENT drop can rmtree between the exists() check and the
+        # lock acquisition (TOCTOU): the constructor or os.open then
+        # raises FileNotFoundError, and the lock's inode-generation
+        # check raises ConcurrentWriteError — both mean "already gone"
+        # when the table no longer exists, i.e. the documented False.
+        try:
+            with LakeTable(path)._writer_lock(blocking=True):
+                shutil.rmtree(path, ignore_errors=True)
+        except (FileNotFoundError, ConcurrentWriteError):
+            if not LakeTable.exists(path):
+                return False
+            raise
         return True
 
     # ------------------------------------------------------------------ meta

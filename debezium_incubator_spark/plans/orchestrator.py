@@ -122,6 +122,13 @@ class MultiTableCDC:
             cfg["snapshot_mode"] = cfg.get("snapshot_mode", "never")
         eng = self._mk_engine(name, cfg)
         if not LakeTable.exists(eng.table_path):
+            # no LakeTable ⇒ any checkpoint under ckpt/<name> is an
+            # orphan (e.g. a DROP TABLE that predates checkpoint
+            # clearing): a fresh table inheriting a stale stream_pos
+            # would skip the changelog history it is owed. There is no
+            # legitimate ckpt-without-table state (create writes VERSION
+            # before the first checkpoint), so reset unconditionally.
+            eng.store.reset()
             if ddl_action is not None:
                 eng.provision_from_ddl(ddl_action)
                 eng.bootstrap(None)  # mode=never: flip phase, no source read
@@ -141,12 +148,20 @@ class MultiTableCDC:
     def drop_table(self, name: str) -> bool:
         """Storage teardown FIRST (blocking on any in-flight commit),
         deregistration after — a failed drop leaves the table registered
-        and managed rather than orphaning its data directory."""
+        and managed rather than orphaning its data directory. The
+        table's checkpoint state goes with it: a later CREATE TABLE of
+        the same name (a normal DDL-stream sequence) must start from
+        INITIAL and replay the full changelog history, not resume past
+        the dropped table's stream_pos (silent data loss)."""
+        import shutil
+
         eng = self.engines.get(name)
         path = (
             eng.table_path if eng is not None else os.path.join(self.root, "tables", name)
         )
         dropped = LakeTable.drop(path)
+        ckpt_dir = eng.store.path if eng is not None else os.path.join(self.root, "ckpt", name)
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
         self.engines.pop(name, None)
         reg = self._registry()
         reg.pop(name, None)
@@ -314,8 +329,12 @@ class MultiTableCDC:
         The shared changelog serves EVERY table, so a segment is
         expendable only when every table has processed past it — the
         combined watermark is the min across all tables' per-bucket
-        marks. A table still catching up (or missing marks for some
-        bucket) blocks GC entirely: conservative, never lossy."""
+        marks, where a bucket with no mark counts as processed through
+        its table's stream_pos (ordered delivery guarantees it has seen
+        every offset ≤ stream_pos; its keys just never hashed there).
+        Only a table with no processed position at all (stream_pos=-1,
+        owed a full replay) blocks GC — and is reported via
+        ``gc_blocked_by`` rather than silently skipping."""
         from debezium_incubator_spark.sources.gc import expire_changelog_files
 
         out: dict[str, Any] = {"compacted": {}, "expired_versions": {}, "archived": []}
@@ -331,25 +350,52 @@ class MultiTableCDC:
             out["expired_versions"][name] = eng.table.expire_versions(keep_last=safe_keep)
         if changelog_dir:
             combined: dict[str, int] = {}
-            complete = True
             for name, eng in self.engines.items():
-                marks = eng._reconcile(eng.store.latest()).get("max_offsets", {})
+                ckpt = eng._reconcile(eng.store.latest())
+                marks = ckpt.get("max_offsets", {})
+                stream_pos = int(ckpt.get("stream_pos", -1))
                 nb = eng.table.manifest()["num_buckets"]
-                if len(marks) < nb:
-                    complete = False  # this table hasn't touched every bucket yet
-                    break
-                for b, v in marks.items():
-                    combined[f"{name}:{b}"] = int(v)
-            if complete and combined:
-                counters: dict[str, int] = {}
-                out["archived"] = expire_changelog_files(
-                    changelog_dir,
-                    combined,
-                    num_buckets=len(combined),
-                    mode=gc_mode,
-                    counters=counters,
-                )
-                out["gc_counters"] = counters
+                for b in range(nb):
+                    v = marks.get(str(b))
+                    # by the ordered-delivery contract EVERY bucket has
+                    # processed every offset ≤ the table's stream_pos —
+                    # a bucket's mark (its max SEEN offset) can sit well
+                    # below that when its keys are quiet, and a bucket
+                    # with no mark at all just never hashed a key. So
+                    # the per-bucket watermark is max(mark, stream_pos):
+                    # a bucket-incomplete table no longer blocks
+                    # archival forever (≙ the reference archiving each
+                    # log as soon as it is fully processed,
+                    # QueueProcessor.java:98-102). A table that has
+                    # never streamed (stream_pos=-1, e.g. just
+                    # DDL-provisioned and owed a full-history replay)
+                    # contributes -1 and legitimately blocks GC.
+                    combined[f"{name}:{b}"] = (
+                        max(int(v), stream_pos) if v is not None else stream_pos
+                    )
+            if combined:
+                low_key = min(combined, key=combined.get)
+                if combined[low_key] < 0:
+                    # never silently skip: tell the operator WHY the
+                    # changelog keeps growing (ADVICE r3 #5)
+                    out["gc_blocked_by"] = low_key.split(":", 1)[0]
+                    warnings.warn(
+                        f"shared-changelog GC blocked: table "
+                        f"{out['gc_blocked_by']} has no processed position yet "
+                        f"(stream_pos=-1, awaiting its history replay)"
+                    )
+                else:
+                    counters: dict[str, int] = {}
+                    out["archived"] = expire_changelog_files(
+                        changelog_dir,
+                        combined,
+                        num_buckets=len(combined),
+                        mode=gc_mode,
+                        counters=counters,
+                    )
+                    out["gc_counters"] = counters
+                    out["gc_watermark"] = combined[low_key]
+                    out["gc_watermark_table"] = low_key.split(":", 1)[0]
         return out
 
     # ------------------------------------------------------------- reads / metrics

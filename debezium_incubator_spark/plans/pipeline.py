@@ -469,6 +469,13 @@ class CDCEngine:
                     warnings.warn(f"DROP TABLE {r.get('table')}: no table at {self.table_path}")
                     continue
                 self._table = None
+                # the checkpoint dies with the table: a later CREATE
+                # TABLE (provision_from_ddl) in this or a later batch
+                # must start from INITIAL, not inherit phase=stream and
+                # the dropped table's stream_pos (which would make the
+                # replay guard skip the history owed to the fresh table)
+                self.store.reset()
+                self._nb_checked = False
             else:
                 # the reference's warn-and-continue path for unhandled DDL
                 import warnings

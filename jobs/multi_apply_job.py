@@ -22,6 +22,22 @@ from __future__ import annotations
 
 import argparse
 import json
+import re
+
+
+def split_ddl_script(text: str) -> list[str]:
+    """Split a DDL script into statements: ;-separated AND
+    newline-separated (a newline followed by a statement-STARTING
+    keyword opens a new statement even without a ';'). Bare DROP is
+    deliberately NOT in the lookahead: a multi-line
+    "ALTER TABLE t\\n  DROP (a, b);" legally continues with DROP — but
+    "DROP TABLE" is unambiguous (no ALTER clause starts with it), so it
+    splits like CREATE/ALTER/GRANT rather than being silently glued
+    onto the previous statement."""
+    parts = re.split(
+        r";|\n(?=\s*(?:CREATE|ALTER|GRANT|DROP\s+TABLE)\b)", text, flags=re.IGNORECASE
+    )
+    return [s.strip() + ";" for s in parts if s and s.strip()]
 
 
 def main():
@@ -51,21 +67,8 @@ def main():
             orch.create_table(name.strip())
 
     if args.ddl_file:
-        import re
-
         with open(args.ddl_file) as f:
-            # ;-separated AND newline-separated (a newline followed by a
-            # statement-STARTING keyword opens a new statement even
-            # without a ';'). DROP is deliberately NOT in the lookahead:
-            # a multi-line "ALTER TABLE t\n  DROP (a, b);" legally
-            # continues with DROP, and splitting there would discard the
-            # column drop — DROP TABLE statements therefore need a ';'
-            # or their own line-initial position after a ';'.
-            parts = re.split(
-                r";|\n(?=\s*(?:CREATE|ALTER|GRANT)\b)", f.read(), flags=re.IGNORECASE
-            )
-        stmts = [s.strip() for s in parts if s and s.strip()]
-        orch.apply_ddl_statements([s + ";" for s in stmts])
+            orch.apply_ddl_statements(split_ddl_script(f.read()))
 
     if args.source:
         src = spark.read.parquet(args.source)

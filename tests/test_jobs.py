@@ -85,3 +85,24 @@ def test_apply_job_batch_mode(job_fixtures, tmp_path):
         ]
     )
     assert m["phase"] == "stream" and m["counters"]["events_in"] > 0
+
+
+def test_split_ddl_script_drop_table_lookahead():
+    """ADVICE r3: a line-initial DROP TABLE without a preceding ';' must
+    open its own statement (it is unambiguous — no ALTER clause starts
+    with DROP TABLE), while a multi-line ALTER ... DROP (cols) stays one
+    statement."""
+    sys.path.insert(0, os.path.join(REPO, "jobs"))
+    from multi_apply_job import split_ddl_script
+
+    text = (
+        'CREATE TABLE t1 ("a" number, PRIMARY KEY ("a"))\n'
+        "DROP TABLE t2\n"
+        "ALTER TABLE t3\n  DROP (b, c)\n"
+        "DROP TABLE t4;"
+    )
+    stmts = split_ddl_script(text)
+    assert len(stmts) == 4
+    assert stmts[1].startswith("DROP TABLE t2")
+    assert "DROP (b, c)" in stmts[2] and stmts[2].startswith("ALTER TABLE t3")
+    assert stmts[3].startswith("DROP TABLE t4")

@@ -171,6 +171,25 @@ def test_writer_lock_race_exactly_one_wins(tmp_table):
     assert sum(counts.values()) > 0
 
 
+def test_drop_concurrent_toctou_returns_false(tmp_table, monkeypatch):
+    """ADVICE r3: a concurrent drop can rmtree the table between drop()'s
+    exists() check and the lock acquisition — the documented contract is
+    a False return (already gone), not an escaping FileNotFoundError."""
+    real_exists = LakeTable.exists
+    calls = {"n": 0}
+
+    def racy_exists(path):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return True  # the table "was there" an instant ago
+        return real_exists(path)
+
+    monkeypatch.setattr(LakeTable, "exists", staticmethod(racy_exists))
+    # the path never existed → LakeTable.__init__ raises FileNotFoundError
+    # exactly like the post-rmtree window
+    assert LakeTable.drop(tmp_table) is False
+
+
 def test_modify_column_transition_whitelist(spark, tmp_table):
     """Only lossless widenings commit; every cross-family change is
     refused (an unchecked metadata change would make the ANSI read-time

@@ -266,17 +266,20 @@ def test_maintain_shared_changelog_gc(spark, tmp_path, fixtures):
     orch.create_table("files_00")
     orch.create_table("files_01")
     orch.bootstrap(src)
-    # files_00 fully caught up; files_01 lags at the first half
+    # files_00 fully caught up; files_01 lags BELOW the first segment's
+    # boundary (its watermark = stream_pos, so a lag at exactly `half`
+    # would already make the first-half segment expendable)
     orch.engines["files_00"].run(
         TableSlice(ParquetChangelog(log_dir), "files_00"), offsets_per_epoch=top + 1
     )
     orch.engines["files_01"].run(
         TableSlice(ParquetChangelog(log_dir), "files_01"),
-        offsets_per_epoch=half + 1,
+        offsets_per_epoch=half // 2 + 1,
         max_epochs=1,
     )
     r1 = orch.maintain(changelog_dir=log_dir)
-    assert r1["archived"] == []  # the lagging table blocks GC
+    assert r1["archived"] == []  # the lagging table holds back GC
+    assert r1["gc_watermark_table"] == "files_01"
     # catch files_01 up → the first-half segment becomes expendable
     orch.engines["files_01"].run(
         TableSlice(ParquetChangelog(log_dir), "files_01"), offsets_per_epoch=top + 1
@@ -284,4 +287,106 @@ def test_maintain_shared_changelog_gc(spark, tmp_path, fixtures):
     r2 = orch.maintain(changelog_dir=log_dir)
     assert len(r2["archived"]) >= 1
     assert _os.path.isdir(_os.path.join(log_dir, "_archive"))
+
+
+def test_drop_then_recreate_replays_history(spark, tmp_path, fixtures):
+    """DROP TABLE then CREATE TABLE of the same name (a normal DDL
+    sequence) must NOT inherit the dropped table's checkpoint: the
+    fresh table starts from INITIAL and replays the full changelog
+    history (ADVICE r3 high: a stale ckpt/<name> silently dropped the
+    earlier offsets)."""
+    src, log = fixtures
+    root = str(tmp_path / "recreate")
+    orch = MultiTableCDC(spark, root, num_buckets=4)
+    orch.create_table("files_00")
+    orch.bootstrap(src)
+    orch.run(DataFrameChangelog(log), offsets_per_epoch=4 * N_SLOTS + 4)
+    assert orch.metrics()["files_00"]["counters"]["events_in"] > 0
+    n_00 = log.filter(F.col("source.table") == "files_00").count()
+
+    create_00 = CREATE_T1.replace("files_01", "files_00")
+    assert orch.apply_ddl_statements(["DROP TABLE repos.files_00;", create_00]) == 2
+    ck = orch.engines["files_00"].store.latest()
+    assert int(ck.get("stream_pos", -1)) == -1 and ck["epoch"] <= 0
+
+    orch.run(DataFrameChangelog(log), offsets_per_epoch=4 * N_SLOTS + 4)
+    # the full history landed in the fresh table — nothing was skipped
+    # by a resurrected stream position
+    assert orch.metrics()["files_00"]["counters"]["events_in"] == n_00
+    assert orch.final_state("files_00").count() > 0
+    # and a RESTARTED orchestrator sees the same clean state
+    orch2 = MultiTableCDC(spark, root, num_buckets=4)
+    assert orch2.metrics()["files_00"]["counters"]["events_in"] == n_00
+
+
+def test_engine_drop_then_recreate_resets_checkpoint(spark, tmp_path):
+    """Engine-level form of the same hole (ADVICE r3 medium): a
+    drop_table DDL action clears the checkpoint store, so a CREATE in a
+    later batch provisions a table that replays from scratch."""
+    from debezium_incubator_spark.plans.pipeline import CDCEngine
+    from debezium_incubator_spark.sources.ddl import parse_ddl
+
+    eng = CDCEngine(
+        spark, str(tmp_path / "t"), str(tmp_path / "c"),
+        num_buckets=4, snapshot_mode="never",
+    )
+    (create,) = parse_ddl(CREATE_T1)
+    eng.apply_ddl_events([create])
+    eng.bootstrap(None)
+    log = gen_changelog(spark, n_keys=50, n_repos=4, n_slots=100)
+    eng.run(DataFrameChangelog(log), offsets_per_epoch=1000)
+    assert int(eng.store.latest()["stream_pos"]) > 0
+
+    drop = {"action": "drop_table", "table": "repos.files_01"}
+    assert eng.apply_ddl_events([drop, create]) == 2
+    assert int(eng.store.latest().get("stream_pos", -1)) == -1
+    eng.bootstrap(None)
+    eng.run(DataFrameChangelog(log), offsets_per_epoch=1000)
+    assert eng.metrics()["counters"]["events_in"] == log.count()
+    assert eng.final_state().count() > 0
+
+
+def test_maintain_gc_blocked_by_is_reported(spark, tmp_path, fixtures):
+    """A table with no processed position (just DDL-provisioned, owed a
+    full replay) blocks shared-changelog GC — and maintain() says so
+    (gc_blocked_by + warning) instead of silently skipping."""
+    src, log = fixtures
+    log_dir = str(tmp_path / "blocklog")
+    log.coalesce(1).write.mode("append").parquet(log_dir)
+
+    from debezium_incubator_spark.sources.changelog import ParquetChangelog
+
+    orch = MultiTableCDC(spark, str(tmp_path / "blockroot"), num_buckets=4)
+    orch.create_table("files_00")
+    orch.bootstrap(src)
+    orch.run(ParquetChangelog(log_dir), offsets_per_epoch=10 * N_SLOTS)
+    orch.apply_ddl_statements([CREATE_T1])  # fresh table, stream_pos=-1
+    with pytest.warns(UserWarning, match="GC blocked"):
+        r = orch.maintain(changelog_dir=log_dir)
+    assert r["archived"] == [] and r["gc_blocked_by"] == "files_01"
+
+
+def test_maintain_unmarked_buckets_do_not_block_gc(spark, tmp_path):
+    """VERDICT r3 #3: a caught-up table whose keys never hashed into
+    some bucket (no mark there) must not block shared-changelog GC —
+    the bucket has still processed every offset ≤ stream_pos."""
+    from debezium_incubator_spark.sources.changelog import ParquetChangelog
+
+    # 12 keys split over 2 tables → ≤6 keys for files_00: with 16
+    # buckets some bucket is GUARANTEED markless
+    src = gen_source_table(spark, n_keys=12, n_repos=2, n_tables=2)
+    log = gen_changelog(spark, n_keys=12, n_repos=2, n_slots=60, n_tables=2)
+    log_dir = str(tmp_path / "sparselog")
+    log.coalesce(1).write.mode("append").parquet(log_dir)
+
+    orch = MultiTableCDC(spark, str(tmp_path / "sparseroot"), num_buckets=16)
+    orch.create_table("files_00")
+    orch.bootstrap(src)
+    orch.run(ParquetChangelog(log_dir), offsets_per_epoch=100 * 60)
+    eng = orch.engines["files_00"]
+    marks = eng._reconcile(eng.store.latest()).get("max_offsets", {})
+    assert len(marks) < 16  # precondition: some bucket carries no mark
+    r = orch.maintain(changelog_dir=log_dir)
+    assert len(r["archived"]) >= 1  # fully processed ⇒ archival proceeds
+    assert r["gc_watermark_table"] == "files_00"
 
