@@ -67,6 +67,12 @@ class MultiTableCDC:
         self.root = root
         self.engine_defaults = engine_defaults
         self.engines: dict[str, CDCEngine] = {}
+        # loop-carried per-engine checkpoints for apply_batch: with
+        # checkpoint_interval > 1 a heartbeat-advanced stream_pos lives
+        # only in memory between persisted checkpoints — re-reading
+        # store.latest() every micro-batch would regress it (the batch
+        # loop in CDCEngine.run threads its ckpt the same way)
+        self._ckpts: dict[str, dict] = {}
         os.makedirs(root, exist_ok=True)
         for name, cfg in self._registry().items():
             self.engines[name] = self._mk_engine(name, cfg)
@@ -142,6 +148,7 @@ class MultiTableCDC:
         reg = self._registry()
         reg[name] = cfg
         self._save_registry(reg)
+        self._ckpts.pop(name, None)  # no carried state may outlive a re-provision
         self.engines[name] = eng
         return eng
 
@@ -162,6 +169,7 @@ class MultiTableCDC:
         dropped = LakeTable.drop(path)
         ckpt_dir = eng.store.path if eng is not None else os.path.join(self.root, "ckpt", name)
         shutil.rmtree(ckpt_dir, ignore_errors=True)
+        self._ckpts.pop(name, None)
         self.engines.pop(name, None)
         reg = self._registry()
         reg.pop(name, None)
@@ -277,7 +285,10 @@ class MultiTableCDC:
             }
             global_top = max((t for _, _, t in stats.values()), default=-1)
             for name, eng in self.engines.items():
-                ckpt = eng._reconcile(eng.store.latest())
+                # carried ckpt first (holds unpersisted heartbeat
+                # positions); _reconcile folds it forward if the TABLE
+                # advanced through another path (e.g. a batch run)
+                ckpt = eng._reconcile(self._ckpts.get(name) or eng.store.latest())
                 if ckpt.get("phase") == "snapshot":
                     # same contract as CDCEngine.run(): silently streaming
                     # into a never-bootstrapped table would flip it to
@@ -298,7 +309,7 @@ class MultiTableCDC:
                         continue
                     # K5 heartbeat; advance to the batch top (this table
                     # has no rows at or below it, delivery is ordered)
-                    eng.apply_epoch(
+                    self._ckpts[name] = eng.apply_epoch(
                         batch.filter(F.lit(False)),
                         stream_pos=max(global_top, last),
                         ckpt=ckpt,
@@ -310,7 +321,9 @@ class MultiTableCDC:
                         f"offsets [{lo_t}, {top_t}]"
                     )
                 rows = batch.filter(F.col(table_field) == F.lit(name))
-                eng.apply_epoch(rows, stream_pos=max(global_top, last), ckpt=ckpt)
+                self._ckpts[name] = eng.apply_epoch(
+                    rows, stream_pos=max(global_top, last), ckpt=ckpt
+                )
         finally:
             batch.unpersist(blocking=False)
 

@@ -142,6 +142,9 @@ class CDCEngine:
             old_names[r["new"]] = r["old"]
         cols = [F.col("offset"), F.col("op"), F.col("ts_ms")]
         cols += [F.col(k) for k in self.key_cols]
+        if BUCKET_COL in events.columns:
+            # bucket computed (and replay-guarded) upstream rides through
+            cols.append(F.col(BUCKET_COL))
         payload = self._payload_names()
         for name in payload:
             src = name
@@ -333,21 +336,7 @@ class CDCEngine:
             return self._reconcile(ckpt)
 
         renames = ckpt.get("renames", [])
-        pre = self._prefilter(events)
-        audit_counters = None
-        if self.audit_before and not is_snapshot and "before" in pre.columns:
-            # audit AFTER the replay guard: a redelivered micro-batch's
-            # events would otherwise be compared against the table state
-            # that already includes them — spurious mismatches on a
-            # perfectly consistent stream
-            pre_a = filter_processed(
-                self.table.with_bucket(pre),
-                ckpt.get("max_offsets", {}),
-                num_buckets=self.table.manifest()["num_buckets"],
-            ).drop(BUCKET_COL)
-            audit_counters = {"before_image_mismatch": self._audit_before_images(pre_a)}
-        flat = self._unwrap(pre, renames)
-        flat = self.table.with_bucket(flat)
+        pre = self.table.with_bucket(self._prefilter(events))
         if not is_snapshot:
             # the global-min fast path inside filter_processed is only
             # sound when the mark count covers EVERY bucket — validate
@@ -363,7 +352,19 @@ class CDCEngine:
                         f"table manifest has {nb}"
                     )
                 self._nb_checked = True
-            flat = filter_processed(flat, ckpt.get("max_offsets", {}), num_buckets=nb)
+            # replay guard ONCE, before the envelope is unwrapped: both
+            # the before-image audit and the apply path consume the same
+            # guarded frame (the audit used to build its own second
+            # guarded scan per epoch)
+            pre = filter_processed(pre, ckpt.get("max_offsets", {}), num_buckets=nb)
+        audit_counters = None
+        if self.audit_before and not is_snapshot and "before" in pre.columns:
+            # audit AFTER the replay guard: a redelivered micro-batch's
+            # events would otherwise be compared against the table state
+            # that already includes them — spurious mismatches on a
+            # perfectly consistent stream
+            audit_counters = {"before_image_mismatch": self._audit_before_images(pre)}
+        flat = self._unwrap(pre, renames)
 
         summary: dict[str, Any] = {
             "epoch": target_epoch,

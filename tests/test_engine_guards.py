@@ -270,3 +270,28 @@ def test_before_image_audit_counter(spark, tmp_path):
         .first()
     )
     assert got["commit"] == "y"
+
+
+def test_audit_and_apply_share_one_guarded_frame(spark, tmp_path, monkeypatch):
+    """VERDICT r3 #6: with audit_before on, the replay guard
+    (filter_processed) is built ONCE per epoch and shared by the audit
+    and the apply path — not constructed twice."""
+    from debezium_incubator_spark.plans import pipeline as pl
+    from debezium_incubator_spark.sources.changelog import DataFrameChangelog
+
+    eng = _engine(spark, tmp_path, "audit_share", audit_before=True)
+    src = gen_source_table(spark, n_keys=30, n_repos=3)
+    eng.bootstrap(src)
+    log = gen_changelog(spark, n_keys=30, n_repos=3, n_slots=60)
+
+    calls = {"n": 0}
+    real = pl.filter_processed
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(pl, "filter_processed", counting)
+    eng.run(DataFrameChangelog(log), offsets_per_epoch=10**6)  # one epoch
+    assert calls["n"] == 1
+    assert eng.metrics()["counters"]["before_image_mismatch"] == 0
