@@ -102,6 +102,61 @@ def run_cdc_pipeline(spark, src_p, log_p, num_buckets, offsets_per_epoch, work_d
     }
 
 
+def run_multi_table(
+    spark,
+    sf: float,
+    n_tables: int = 4,
+    triggers: int = 4,
+    max_parallel_tables: int | None = None,
+    cache_root: str = "/tmp/cdc_bench_cache",
+    work_root: str = "/tmp",
+):
+    """Orchestrator overhead benchmark: one shared changelog feeding
+    ``n_tables`` tables through ``triggers`` apply_batch micro-batches
+    (the StreamingMultiTableCDC per-trigger path: stats pass + per-table
+    routed merges on the driver thread pool). Sized at ~1/4 the
+    single-table volume so the per-trigger ORCHESTRATION cost dominates
+    the measurement rather than raw apply throughput."""
+    from pyspark.sql import functions as F
+
+    from debezium_incubator_spark.plans.orchestrator import MultiTableCDC
+    from debezium_incubator_spark.sources.generator import gen_changelog, gen_source_table
+
+    n_keys, n_repos, n_slots, _, _ = SCALES[min(SCALES, key=lambda k: abs(k - sf))]
+    n_keys, n_slots = max(n_keys // 4, 400), max(n_slots // 4, 1_200)
+    tag = f"mt{n_tables}_k{n_keys}_s{n_slots}"
+    src_p, log_p = f"{cache_root}/{tag}/source", f"{cache_root}/{tag}/changelog"
+    if not os.path.exists(f"{log_p}/_SUCCESS"):
+        gen_source_table(
+            spark, n_keys=n_keys, n_repos=n_repos, n_tables=n_tables
+        ).write.mode("overwrite").parquet(src_p)
+        gen_changelog(
+            spark, n_keys=n_keys, n_repos=n_repos, n_slots=n_slots, n_tables=n_tables
+        ).write.mode("overwrite").parquet(log_p)
+
+    work = f"{work_root}/cdc_bench_mt_{sf}"
+    shutil.rmtree(work, ignore_errors=True)
+    kw = {} if max_parallel_tables is None else {"max_parallel_tables": max_parallel_tables}
+    orch = MultiTableCDC(spark, work, num_buckets=16, **kw)
+    for i in range(n_tables):
+        orch.create_table(f"files_{i:02d}")
+    orch.bootstrap(spark.read.parquet(src_p))
+    log = spark.read.parquet(log_p)
+    top = int(log.agg(F.max("offset")).first()[0])
+    cuts = [top * (i + 1) // triggers for i in range(triggers)]
+    t0 = time.time()
+    lo = -1
+    for cut in cuts:
+        orch.apply_batch(log.filter((F.col("offset") > lo) & (F.col("offset") <= cut)))
+        lo = cut
+    wall = time.time() - t0
+    events = sum(
+        m["counters"].get("events_in", 0) for m in orch.metrics().values()
+    )
+    return {"sec": round(wall, 3), "events": events, "tables": n_tables,
+            "triggers": triggers, "sec_per_trigger": round(wall / triggers, 3)}
+
+
 def main():
     from debezium_incubator_spark.session import get_spark
     import __spark_entry__ as entry_mod
@@ -127,8 +182,10 @@ def main():
         spark, src_p, log_p, num_buckets, ope, f"{work_root}/cdc_bench_run_{sf}"
     )
 
+    mt = run_multi_table(spark, sf, work_root=work_root)
+
     qs = entry_mod.queries()
-    q_times = {}
+    q_times = {"multi_table_apply": mt["sec"]}
     for name in BENCH_QUERIES:
         t0 = time.time()
         n = qs[name](spark, sf_dir).count()
@@ -149,6 +206,7 @@ def main():
         "snapshot_sec": cdc["snapshot_sec"],
         "stream_sec": cdc["stream_sec"],
         "epochs": cdc["epochs"],
+        "multi_table": mt,
         "cores": int(cpus),
     }
     print(json.dumps(out))

@@ -71,6 +71,13 @@ class LakeTable:
         self.meta_dir = os.path.join(path, "_meta")
         if not os.path.exists(os.path.join(self.meta_dir, "VERSION")):
             raise FileNotFoundError(f"not a LakeTable: {path}")
+        # manifests are immutable once written (commit copies, never
+        # mutates), so they cache safely by version — the apply loop
+        # reads the manifest many times per epoch (bucket routing, stats,
+        # schema, commit) and the file list grows with the table; the
+        # VERSION pointer is still re-read on every access, so another
+        # process's commit is picked up immediately
+        self._manifest_cache: dict[int, dict] = {}
 
     # ------------------------------------------------------------------ create
     @staticmethod
@@ -142,8 +149,14 @@ class LakeTable:
 
     def manifest(self, version: int | None = None) -> dict:
         v = self.version() if version is None else version
-        with open(os.path.join(self.meta_dir, f"v{v:05d}.json")) as f:
-            return json.load(f)
+        m = self._manifest_cache.get(v)
+        if m is None:
+            with open(os.path.join(self.meta_dir, f"v{v:05d}.json")) as f:
+                m = json.load(f)
+            if len(self._manifest_cache) >= 8:  # bounded: recovery walks few versions
+                self._manifest_cache.pop(next(iter(self._manifest_cache)))
+            self._manifest_cache[v] = m
+        return m
 
     def current_fields(self, manifest: dict | None = None) -> list[dict]:
         m = manifest or self.manifest()
@@ -543,6 +556,9 @@ class LakeTable:
                     v = int(fn[1:6])
                     if v not in keep:
                         os.unlink(os.path.join(self.meta_dir, fn))
+                        # an expired version must read as gone, not be
+                        # served from the immutable-manifest cache
+                        self._manifest_cache.pop(v, None)
                         removed.append(v)
             data_dir = os.path.join(self.path, "data")
             for d in os.listdir(data_dir):

