@@ -154,7 +154,12 @@ class LakeTable:
             with open(os.path.join(self.meta_dir, f"v{v:05d}.json")) as f:
                 m = json.load(f)
             if len(self._manifest_cache) >= 8:  # bounded: recovery walks few versions
-                self._manifest_cache.pop(next(iter(self._manifest_cache)))
+                try:
+                    # the stats-prefetch thread and the commit thread can
+                    # both be here — eviction is best-effort under races
+                    self._manifest_cache.pop(next(iter(self._manifest_cache)), None)
+                except (StopIteration, RuntimeError):
+                    pass
             self._manifest_cache[v] = m
         return m
 

@@ -47,6 +47,12 @@ class StreamingCDC:
         self.stream_checkpoint_dir = stream_checkpoint_dir
         self.max_files_per_trigger = max_files_per_trigger
         self.schema = changelog_schema(payload_fields)
+        # loop-carried checkpoint across triggers: with
+        # checkpoint_interval > 1 a heartbeat-advanced stream_pos lives
+        # only in memory between persisted checkpoints — re-reading
+        # store.latest() every micro-batch would regress it (same carry
+        # the batch loop and the multi-table orchestrator do)
+        self._ckpt: dict | None = None
 
     def _apply_batch(self, batch_df, epoch_id: int) -> None:
         # ONE stats action per micro-batch (count + offset bounds) —
@@ -57,13 +63,15 @@ class StreamingCDC:
         # RECONCILED position: after a crash between commit and
         # checkpoint the manifest chain is ahead of the checkpoint file —
         # reading store.latest() raw would regress stream_pos on the next
-        # heartbeat/batch and re-scan an already-applied range
-        ckpt = self.engine._reconcile(self.engine.store.latest())
+        # heartbeat/batch and re-scan an already-applied range. The
+        # carried ckpt (which may be AHEAD of the persisted file) wins;
+        # _reconcile folds it forward if the table advanced elsewhere.
+        ckpt = self.engine._reconcile(self._ckpt or self.engine.store.latest())
         last = int(ckpt.get("stream_pos", -1))
         if n == 0:
             # K5 heartbeat parity with the batch loop: an idle trigger
             # still advances the epoch/checkpoint (no table commit)
-            self.engine.apply_epoch(batch_df, stream_pos=last)
+            self._ckpt = self.engine.apply_epoch(batch_df, stream_pos=last, ckpt=ckpt)
             return
         lo, top = int(lo), int(top)
         if lo <= last < top:
@@ -76,7 +84,9 @@ class StreamingCDC:
             )
         # top <= last → byte-identical redelivery: apply_epoch's offset
         # guards make it a no-op; top > last → normal forward progress.
-        self.engine.apply_epoch(batch_df, stream_pos=max(top, last))
+        self._ckpt = self.engine.apply_epoch(
+            batch_df, stream_pos=max(top, last), ckpt=ckpt
+        )
 
     def start(
         self,

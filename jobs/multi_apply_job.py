@@ -15,13 +15,19 @@ The table set is durable (--root/_registry.json): re-runs reconstruct
 every registered engine and resume each from its own checkpoint.
 ``--ddl-file`` applies a file of DDL statements (one per line or
 ;-separated) BEFORE the stream phase — CREATE TABLE statements provision
-new tables that then replay the changelog history.
+new tables that then replay the changelog history. With
+``--mode stream|continuous`` the job attaches via Structured Streaming
+(one readStream fanned out to every table inside foreachBatch on a
+driver thread pool); ``--ddl-dir`` then opens the MID-STREAM DDL
+channel — .sql files landing there apply between micro-batches of the
+running trigger.
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import os
 
 
 def split_ddl_script(text: str) -> list[str]:
@@ -42,6 +48,21 @@ def main():
     p.add_argument("--num-buckets", type=int, default=64)
     p.add_argument("--offsets-per-epoch", type=int, default=1_000_000)
     p.add_argument("--source-table-col", default="src_table")
+    p.add_argument("--mode", choices=["batch", "stream", "continuous"], default="batch",
+                   help="batch = offset-sliced catch-up loop; stream = "
+                        "availableNow Structured-Streaming drain; continuous = "
+                        "indefinite processingTime watch")
+    p.add_argument("--trigger-interval", default="10 seconds",
+                   help="processingTime interval for --mode continuous")
+    p.add_argument("--max-runtime", type=float,
+                   help="stop the continuous watch after N seconds")
+    p.add_argument("--ddl-dir",
+                   help="DDL control directory for stream/continuous modes: .sql "
+                        "files landing here apply MID-STREAM between micro-batches "
+                        "(CREATE TABLE provisions + replays history)")
+    p.add_argument("--max-parallel-tables", type=int, default=8,
+                   help="driver thread pool driving per-table merges concurrently "
+                        "(1 = sequential)")
     p.add_argument("--maintain", action="store_true",
                    help="after catch-up: per-table compaction/version GC + "
                         "shared-changelog archival (min watermark across tables)")
@@ -53,7 +74,11 @@ def main():
     from debezium_incubator_spark.sources.changelog import ParquetChangelog
 
     spark = SparkSession.builder.appName("cdc-multi-apply").getOrCreate()
-    orch = MultiTableCDC(spark, args.root, num_buckets=args.num_buckets)
+    orch = MultiTableCDC(
+        spark, args.root,
+        max_parallel_tables=args.max_parallel_tables,
+        num_buckets=args.num_buckets,
+    )
     for name in (args.tables or "").split(","):
         if name.strip():
             orch.create_table(name.strip())
@@ -66,7 +91,24 @@ def main():
         src = spark.read.parquet(args.source)
         orch.bootstrap(src, table_col=args.source_table_col)
 
-    orch.run(ParquetChangelog(args.changelog), offsets_per_epoch=args.offsets_per_epoch)
+    if args.mode == "batch":
+        orch.run(ParquetChangelog(args.changelog), offsets_per_epoch=args.offsets_per_epoch)
+    else:
+        from debezium_incubator_spark.plans.orchestrator import StreamingMultiTableCDC
+
+        s = StreamingMultiTableCDC(
+            orch, args.changelog, os.path.join(args.root, "_stream_ckpt"),
+            ddl_dir=args.ddl_dir,
+        )
+        if args.mode == "stream":
+            s.run_until_caught_up(spark)
+        else:
+            q = s.start(spark, processing_time=args.trigger_interval)
+            if args.max_runtime is not None:
+                q.awaitTermination(args.max_runtime)
+                q.stop()
+            else:
+                q.awaitTermination()
     if args.maintain:
         orch.maintain(changelog_dir=args.changelog)
     print(json.dumps(orch.metrics()))

@@ -106,3 +106,33 @@ def test_split_ddl_script_drop_table_lookahead():
     assert stmts[1].startswith("DROP TABLE t2")
     assert "DROP (b, c)" in stmts[2] and stmts[2].startswith("ALTER TABLE t3")
     assert stmts[3].startswith("DROP TABLE t4")
+
+
+def test_multi_apply_job_stream_mode_with_ddl_dir(job_fixtures, tmp_path):
+    """--mode stream attaches via StreamingMultiTableCDC (availableNow
+    drain) and --ddl-dir opens the mid-stream DDL channel: a pre-seeded
+    .sql provisions files_02 during the drain and records itself in
+    _ddl_applied.json."""
+    d = job_fixtures
+    root = str(tmp_path / "mstream")
+    ddl_dir = tmp_path / "ddlctrl"
+    ddl_dir.mkdir()
+    (ddl_dir / "001.sql").write_text(DDL)
+    m = _run(
+        [
+            f"{REPO}/jobs/multi_apply_job.py",
+            "--root", root,
+            "--changelog", str(d / "changelog"),
+            "--source", str(d / "source"),
+            "--tables", "files_00,files_01",
+            "--num-buckets", "4",
+            "--mode", "stream",
+            "--ddl-dir", str(ddl_dir),
+        ]
+    )
+    assert set(m) == {"files_00", "files_01", "files_02"}
+    assert m["files_00"]["counters"]["events_in"] > 0
+    assert m["files_01"]["counters"]["events_in"] > 0
+    assert m["files_02"]["phase"] == "stream"
+    with open(os.path.join(root, "_ddl_applied.json")) as f:
+        assert json.load(f) == ["001.sql"]
