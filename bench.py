@@ -185,7 +185,7 @@ def main():
     mt = run_multi_table(spark, sf, work_root=work_root)
 
     qs = entry_mod.queries()
-    q_times = {"multi_table_apply": mt["sec"]}
+    q_times = {}
     for name in BENCH_QUERIES:
         t0 = time.time()
         n = qs[name](spark, sf_dir).count()

@@ -102,8 +102,11 @@ def merge_upsert(
     # no persist: the stats pass prunes to (bucket, offset, op) — a
     # skinny columnar scan — while the write pass computes the full
     # pipeline exactly once; caching the full batch would force the
-    # normalization/fingerprint work into the stats pass too
-    b = table.with_bucket(batch, m)
+    # normalization/fingerprint work into the stats pass too. A batch
+    # that already carries the bucket column (the engine computes it
+    # before the replay guard) is trusted as-is — same pure function of
+    # the same key columns.
+    b = batch if BUCKET_COL in batch.columns else table.with_bucket(batch, m)
     order0 = order_cols[0]
     if stats_rows is None:
         stats_rows = batch_stats_rows(b, key_cols, order0, op_col, delete_ops)

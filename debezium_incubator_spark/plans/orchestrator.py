@@ -268,12 +268,20 @@ class MultiTableCDC:
     def bootstrap(self, source: DataFrame, table_col: str = "src_table") -> dict[str, dict]:
         """Snapshot phase for every registered table (the reference's
         per-table snapshot loop). ``source`` carries ``table_col``
-        assigning each row to a table; each engine sees only its rows."""
-        return self._for_each_engine(
-            lambda name, eng: eng.bootstrap(
-                source.filter(F.col(table_col) == F.lit(name)).drop(table_col)
+        assigning each row to a table; each engine sees only its rows.
+        The shared source is persisted around the fan-out — N engines
+        would otherwise run N concurrent full scans of it."""
+        from pyspark import StorageLevel
+
+        source = source.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            return self._for_each_engine(
+                lambda name, eng: eng.bootstrap(
+                    source.filter(F.col(table_col) == F.lit(name)).drop(table_col)
+                )
             )
-        )
+        finally:
+            source.unpersist(blocking=False)
 
     def run(
         self,
@@ -336,7 +344,17 @@ class MultiTableCDC:
                 # carried ckpt first (holds unpersisted heartbeat
                 # positions); _reconcile folds it forward if the TABLE
                 # advanced through another path (e.g. a batch run)
-                ckpt = eng._reconcile(self._ckpts.get(name) or eng.store.latest())
+                carried = self._ckpts.get(name)
+                ckpt = eng._reconcile(carried or eng.store.latest())
+                if carried is not None:
+                    # heartbeat epochs inflate the carried epoch WITHOUT
+                    # table commits, so _reconcile cannot fold forward
+                    # past them — if another driver (an out-of-band
+                    # batch run) moved the PERSISTED position beyond the
+                    # carried one, the disk state is the truth
+                    disk = eng._reconcile(eng.store.latest())
+                    if int(disk.get("stream_pos", -1)) > int(ckpt.get("stream_pos", -1)):
+                        ckpt = disk
                 if ckpt.get("phase") == "snapshot":
                     # same contract as CDCEngine.run(): silently streaming
                     # into a never-bootstrapped table would flip it to
@@ -363,7 +381,13 @@ class MultiTableCDC:
                         ckpt=ckpt,
                     )
                     return
-                if lo_t <= last < top_t:
+                if lo_t <= last < top_t and last > int(ckpt.get("oob_replay_until", -1)):
+                    # a span over a position reached by an OUT-OF-BAND
+                    # catch-up is the stream redelivering covered files
+                    # together with new ones — the D1 marks (≥ every
+                    # covered offset per bucket) absorb the old rows, so
+                    # only a span past a STREAM-advanced position is
+                    # genuine disorder
                     raise OutOfOrderDeliveryError(
                         f"table {name}: batch spans checkpointed stream_pos={last}: "
                         f"offsets [{lo_t}, {top_t}]"
@@ -405,16 +429,22 @@ class MultiTableCDC:
         from debezium_incubator_spark.sources.gc import expire_changelog_files
 
         out: dict[str, Any] = {"compacted": {}, "expired_versions": {}, "archived": []}
-        for name, eng in self.engines.items():
-            out["compacted"][name] = eng.table.compact(
-                self.spark, min_files=compact_min_files
-            )
+
+        def maintain_one(name, eng):
+            compacted = eng.table.compact(self.spark, min_files=compact_min_files)
             # the _reconcile recovery chain needs the manifest parents back
             # to the last PERSISTED checkpoint (periodic K2 flush policy):
             # keep_last must cover the engine's checkpoint_interval + 1
             # or crash recovery loses its chain (pipeline._reconcile)
             safe_keep = max(keep_last, eng.checkpoint_interval + 1)
-            out["expired_versions"][name] = eng.table.expire_versions(keep_last=safe_keep)
+            return compacted, eng.table.expire_versions(keep_last=safe_keep)
+
+        # per-table compaction jobs overlap on the driver thread pool —
+        # same disjoint-state argument as apply_batch (each table's
+        # compaction rewrites only its own buckets under its own lock)
+        for name, (compacted, expired) in self._for_each_engine(maintain_one).items():
+            out["compacted"][name] = compacted
+            out["expired_versions"][name] = expired
         if changelog_dir:
             combined: dict[str, int] = {}
             for name, eng in self.engines.items():
@@ -520,43 +550,64 @@ class StreamingMultiTableCDC(StreamingCDC):
 
     def _poll_ddl(self) -> None:
         """Apply any NEW ``.sql`` files from the control directory, in
-        name order, then catch freshly provisioned tables up to the
-        changelog already on disk (their subsequent redelivery by the
-        file source is absorbed by the replay guard). Runs on the
-        foreachBatch driver thread — between epochs, never mid-epoch."""
-        from debezium_incubator_spark.sources.changelog import ParquetChangelog
+        name order, then catch owed tables up to the changelog already
+        on disk (their subsequent redelivery by the file source is
+        absorbed by the replay guard). Runs on the foreachBatch driver
+        thread — between epochs, never mid-epoch."""
         from debezium_incubator_spark.sources.ddl import split_ddl_script
 
         try:
             files = sorted(f for f in os.listdir(self.ddl_dir) if f.endswith(".sql"))
         except FileNotFoundError:
-            return
+            files = []
         applied_path = os.path.join(self.orch.root, "_ddl_applied.json")
         try:
             with open(applied_path) as f:
                 done = set(json.load(f))
         except FileNotFoundError:
             done = set()
-        new = [f for f in files if f not in done]
-        if not new:
-            return
-        before = set(self.orch.engines)
-        for fn in new:
+        for fn in [f for f in files if f not in done]:
             with open(os.path.join(self.ddl_dir, fn)) as f:
                 self.orch.apply_ddl_statements(split_ddl_script(f.read()))
             # record per file: a failure in a later file retries ONLY
             # that file next trigger (apply is warn-and-skip per
-            # statement, so a recorded file never half-applies silently)
+            # statement, so a recorded file never half-applies silently).
+            # Recording BEFORE the catch-up below is safe because the
+            # catch-up keys off persistent engine state (stream_pos=-1),
+            # not off which files were new this pass — a crash between
+            # record and catch-up self-heals on the next trigger.
             done.add(fn)
             _atomic_write(applied_path, json.dumps(sorted(done)))
-        for name in sorted(set(self.orch.engines) - before):
-            # a table provisioned mid-stream replays the history already
-            # on disk NOW, inside the same trigger gap — the batch path's
-            # semantics (full-history replay, exactly-once per table)
-            self.orch.engines[name].run(
+        self._catch_up_owed_tables()
+
+    def _catch_up_owed_tables(self) -> None:
+        """Replay the on-disk changelog into EVERY streamed engine still
+        at stream_pos=-1 — not just engines added since the last poll: a
+        DROP TABLE + CREATE TABLE of the same name in one file leaves
+        the name registered before AND after (a set-diff would skip it
+        and silently lose its history), and a crash between the DDL
+        apply and a previous catch-up leaves the table owed on restart.
+        The out-of-band position is stamped into the checkpoint
+        (``oob_replay_until``) so the stream's later redelivery of the
+        covered offsets — possibly batched together with newer files —
+        is absorbed instead of tripping the out-of-order guard."""
+        from debezium_incubator_spark.sources.changelog import ParquetChangelog
+
+        for name in sorted(self.orch.engines):
+            eng = self.orch.engines[name]
+            ck = eng._reconcile(eng.store.latest())
+            if ck.get("phase") != "stream" or int(ck.get("stream_pos", -1)) >= 0:
+                continue
+            eng.run(
                 TableSlice(ParquetChangelog(self.changelog_dir), name),
                 offsets_per_epoch=self.catchup_offsets_per_epoch,
             )
+            ck = eng._reconcile(eng.store.latest())
+            pos = int(ck.get("stream_pos", -1))
+            if pos >= 0:
+                ck["oob_replay_until"] = pos
+                eng.store.save(ck)
+                self.orch._ckpts.pop(name, None)  # force re-read of the stamp
 
     def _apply_batch(self, batch_df, epoch_id: int) -> None:
         if self.ddl_dir:

@@ -280,6 +280,12 @@ class CDCEngine:
             "counters": CheckpointStore.merge_counters(
                 ckpt.get("counters", {}), summary.get("counters", {})
             ),
+            # position through which an OUT-OF-BAND catch-up (mid-stream
+            # DDL provisioning) already applied the changelog: the
+            # stream will redeliver those offsets, possibly batched with
+            # newer files, and the out-of-order guard must absorb that
+            # overlap instead of raising (orchestrator.apply_batch)
+            "oob_replay_until": ckpt.get("oob_replay_until", -1),
         }
 
     def bootstrap(self, source: DataFrame, snapshot_version: int | None = None) -> dict:

@@ -67,6 +67,13 @@ class StreamingCDC:
         # carried ckpt (which may be AHEAD of the persisted file) wins;
         # _reconcile folds it forward if the table advanced elsewhere.
         ckpt = self.engine._reconcile(self._ckpt or self.engine.store.latest())
+        if self._ckpt is not None:
+            # heartbeat epochs inflate the carried epoch WITHOUT table
+            # commits, so _reconcile cannot fold past them — if another
+            # driver moved the PERSISTED position further, disk wins
+            disk = self.engine._reconcile(self.engine.store.latest())
+            if int(disk.get("stream_pos", -1)) > int(ckpt.get("stream_pos", -1)):
+                ckpt = disk
         last = int(ckpt.get("stream_pos", -1))
         if n == 0:
             # K5 heartbeat parity with the batch loop: an idle trigger

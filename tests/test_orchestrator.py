@@ -545,3 +545,80 @@ def test_mid_stream_ddl_channel(spark, tmp_path, fixtures):
 
     with open(os.path.join(root, "_ddl_applied.json")) as f:
         assert _json.load(f) == ["001_create.sql"]
+
+def test_mid_stream_drop_recreate_catches_up(spark, tmp_path, fixtures):
+    """Review r4 #1: a DROP TABLE + CREATE TABLE of the SAME name in one
+    DDL file leaves the name registered before and after — the catch-up
+    must key off persistent state (stream_pos=-1), not an engine-set
+    diff, or the recreated table silently loses its history."""
+    from debezium_incubator_spark.plans.orchestrator import StreamingMultiTableCDC
+    from debezium_incubator_spark.sources.changelog import ParquetChangelog
+
+    src, log = fixtures
+    log_dir = str(tmp_path / "drlog")
+    log.coalesce(1).write.mode("append").parquet(log_dir)
+    top = int(log.agg(F.max("offset")).first()[0])
+
+    root = str(tmp_path / "drroot")
+    orch = MultiTableCDC(spark, root, num_buckets=4)
+    orch.create_table("files_00")
+    orch.bootstrap(src)
+    orch.run(ParquetChangelog(log_dir), offsets_per_epoch=top + 1)
+    n_00 = log.filter(F.col("source.table") == "files_00").count()
+
+    ddl_dir = tmp_path / "drctl"
+    ddl_dir.mkdir()
+    create_00 = CREATE_T1.replace("files_01", "files_00")
+    (ddl_dir / "001.sql").write_text(f"DROP TABLE repos.files_00;\n{create_00}")
+    s = StreamingMultiTableCDC(
+        orch, log_dir, str(tmp_path / "drsck"), ddl_dir=str(ddl_dir)
+    )
+    s._poll_ddl()  # the foreachBatch pre-batch hook, driven directly
+    eng = orch.engines["files_00"]
+    ck = eng._reconcile(eng.store.latest())
+    # set-diff would have skipped this table: catch-up ran, full history
+    assert int(ck.get("stream_pos", -1)) == top
+    assert int(ck.get("oob_replay_until", -1)) == top
+    assert ck["counters"]["events_in"] == n_00
+    assert orch.final_state("files_00").count() > 0
+
+
+def test_oob_catchup_absorbs_spanning_batch(spark, tmp_path, fixtures):
+    """Review r4 #3: after a mid-stream catch-up advances a table past
+    the stream's own delivery position, a trigger batching covered
+    backlog together with newer files SPANS the position — that overlap
+    must be absorbed (D1 marks cover the old rows), not raised as
+    out-of-order; the final state equals a clean full replay."""
+    from debezium_incubator_spark.plans.orchestrator import StreamingMultiTableCDC
+    from debezium_incubator_spark.sources.changelog import ParquetChangelog
+
+    src, log = fixtures
+    top = int(log.agg(F.max("offset")).first()[0])
+    half = top // 2
+    log_dir = str(tmp_path / "ooblog")
+    log.filter(F.col("offset") <= half).coalesce(1).write.mode("append").parquet(log_dir)
+
+    root = str(tmp_path / "oobroot")
+    orch = MultiTableCDC(spark, root, num_buckets=4)
+    orch.create_table("files_00")
+    orch.bootstrap(src)
+    ddl_dir = tmp_path / "oobctl"
+    ddl_dir.mkdir()
+    (ddl_dir / "001.sql").write_text(CREATE_T1)
+    s = StreamingMultiTableCDC(
+        orch, log_dir, str(tmp_path / "oobsck"), ddl_dir=str(ddl_dir)
+    )
+    s._poll_ddl()  # provisions files_01, catches it up through the backlog
+    eng = orch.engines["files_01"]
+    t1 = int(log.filter(F.col("offset") <= half).agg(F.max("offset")).first()[0])
+    assert int(eng._reconcile(eng.store.latest())["stream_pos"]) == t1
+    # new file lands; the next trigger delivers backlog + new TOGETHER —
+    # for files_01 that batch spans stream_pos=half
+    orch.apply_batch(log)  # offsets [0, top] ∋ half: spanning, absorbed
+    ck = eng._reconcile(eng.store.latest())
+    assert int(ck["stream_pos"]) == top
+    # D1 absorbed the covered half: every event counted exactly once
+    n_01 = log.filter(F.col("source.table") == "files_01").count()
+    assert ck["counters"]["events_in"] == n_01
+    # (a STREAM-advanced table with no oob stamp still raises on a
+    # genuine span — covered by test_apply_batch_out_of_order_is_per_table)
