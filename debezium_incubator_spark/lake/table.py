@@ -359,24 +359,32 @@ class LakeTable:
             sv = m["current_schema"]
             import pyarrow.parquet as pq
 
+            pending: list[tuple[int, str]] = []
             for entry in sorted(os.listdir(out_dir)):
                 if not entry.startswith(f"{BUCKET_COL}="):
                     continue
                 b = int(entry.split("=", 1)[1])
                 if b not in replace:
                     raise ValueError(f"df contains rows for unexpected bucket {b}")
-                files = []
                 for fn in sorted(os.listdir(os.path.join(out_dir, entry))):
-                    if not fn.endswith(".parquet"):
-                        continue
-                    fp = f"{rel_dir}/{entry}/{fn}"
-                    # footer row count → manifest stats (drives the
-                    # merge's broadcast-vs-shuffle decision, ≙ Iceberg
-                    # file stats)
-                    rows = pq.ParquetFile(os.path.join(self.path, fp)).metadata.num_rows
-                    files.append({"path": fp, "schema": sv, "rows": rows})
-                if files:
-                    new_buckets[str(b)] = files
+                    if fn.endswith(".parquet"):
+                        pending.append((b, f"{rel_dir}/{entry}/{fn}"))
+            # footer row count → manifest stats (drives the merge's
+            # broadcast-vs-shuffle decision, ≙ Iceberg file stats); read
+            # concurrently — a wide commit lists hundreds of files and
+            # serial driver-side footer opens were pure added latency
+            from concurrent.futures import ThreadPoolExecutor
+
+            def _rows(item):
+                b, fp = item
+                return b, fp, pq.ParquetFile(os.path.join(self.path, fp)).metadata.num_rows
+
+            if pending:
+                with ThreadPoolExecutor(max_workers=min(16, len(pending))) as fpool:
+                    for b, fp, rows in fpool.map(_rows, pending):
+                        new_buckets.setdefault(str(b), []).append(
+                            {"path": fp, "schema": sv, "rows": rows}
+                        )
 
             m_new = dict(m)
             m_new.update(
