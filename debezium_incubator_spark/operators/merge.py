@@ -81,6 +81,10 @@ def merge_upsert(
     # (MUST describe exactly this batch's post-guard rows — the run()
     # loop prefetches the next disjoint slice, where the replay guard is
     # a no-op by construction)
+    trust_bucket_col: bool = False,  # True = the batch's existing
+    # BUCKET_COL was computed by THIS table's bucket function (the
+    # engine computes it before the replay guard); default False
+    # recomputes — a foreign/stale bucket column would corrupt layout
     winner_broadcast_max: int = 0,  # winner-join LWW off by default:
     # measured slower than the fused max_by at this payload size — the
     # full-row dedup still shuffles the payload and the broadcast build
@@ -102,11 +106,12 @@ def merge_upsert(
     # no persist: the stats pass prunes to (bucket, offset, op) — a
     # skinny columnar scan — while the write pass computes the full
     # pipeline exactly once; caching the full batch would force the
-    # normalization/fingerprint work into the stats pass too. A batch
-    # that already carries the bucket column (the engine computes it
-    # before the replay guard) is trusted as-is — same pure function of
-    # the same key columns.
-    b = batch if BUCKET_COL in batch.columns else table.with_bucket(batch, m)
+    # normalization/fingerprint work into the stats pass too
+    b = (
+        batch
+        if trust_bucket_col and BUCKET_COL in batch.columns
+        else table.with_bucket(batch, m)
+    )
     order0 = order_cols[0]
     if stats_rows is None:
         stats_rows = batch_stats_rows(b, key_cols, order0, op_col, delete_ops)

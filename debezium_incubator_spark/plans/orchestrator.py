@@ -273,7 +273,11 @@ class MultiTableCDC:
         would otherwise run N concurrent full scans of it."""
         from pyspark import StorageLevel
 
-        source = source.persist(StorageLevel.MEMORY_AND_DISK)
+        # respect a caller-managed cache: persisting over one raises
+        # ("cannot change storage level") and unpersisting would evict it
+        ours = not (source.storageLevel.useMemory or source.storageLevel.useDisk)
+        if ours:
+            source = source.persist(StorageLevel.MEMORY_AND_DISK)
         try:
             return self._for_each_engine(
                 lambda name, eng: eng.bootstrap(
@@ -281,7 +285,8 @@ class MultiTableCDC:
                 )
             )
         finally:
-            source.unpersist(blocking=False)
+            if ours:
+                source.unpersist(blocking=False)
 
     def run(
         self,
@@ -387,7 +392,12 @@ class MultiTableCDC:
                     # together with new ones — the D1 marks (≥ every
                     # covered offset per bucket) absorb the old rows, so
                     # only a span past a STREAM-advanced position is
-                    # genuine disorder
+                    # genuine disorder. Known bounded blind spot: WHILE
+                    # stream_pos still equals the catch-up position, a
+                    # delivery-contract violation injecting never-seen
+                    # offsets below it would be absorbed silently (they
+                    # fall below the marks); the window closes on the
+                    # first batch that advances past the stamp.
                     raise OutOfOrderDeliveryError(
                         f"table {name}: batch spans checkpointed stream_pos={last}: "
                         f"offsets [{lo_t}, {top_t}]"
@@ -566,48 +576,85 @@ class StreamingMultiTableCDC(StreamingCDC):
                 done = set(json.load(f))
         except FileNotFoundError:
             done = set()
-        for fn in [f for f in files if f not in done]:
+        new = [f for f in files if f not in done]
+        pending = self._load_pending_catchup()
+        if not new and not pending:
+            return
+        for fn in new:
             with open(os.path.join(self.ddl_dir, fn)) as f:
-                self.orch.apply_ddl_statements(split_ddl_script(f.read()))
+                stmts = split_ddl_script(f.read())
+            # tables this file CREATES are owed a full-history replay —
+            # recorded DURABLY before the catch-up runs, and resolved by
+            # the DDL action (not an engine-set diff: a DROP + CREATE of
+            # the same name in one file leaves the set unchanged, and a
+            # crash between record and catch-up must self-heal on
+            # restart). Only DDL-created tables are owed: a table
+            # bootstrapped before the stream started gets its history
+            # from the stream itself (which delivers from the first
+            # file), so catching IT up here would replay the whole
+            # backlog out-of-band for nothing.
+            from debezium_incubator_spark.sources.ddl import parse_ddl_batch
+
+            ci = {k.lower(): k for k in self.orch.engines}
+            for a in parse_ddl_batch(stmts):
+                if a.get("action") == "create_table" and a.get("table"):
+                    short = a["table"].split(".")[-1]
+                    pending.add(ci.get(short.lower(), short.lower()))
+            self.orch.apply_ddl_statements(stmts)
             # record per file: a failure in a later file retries ONLY
             # that file next trigger (apply is warn-and-skip per
-            # statement, so a recorded file never half-applies silently).
-            # Recording BEFORE the catch-up below is safe because the
-            # catch-up keys off persistent engine state (stream_pos=-1),
-            # not off which files were new this pass — a crash between
-            # record and catch-up self-heals on the next trigger.
+            # statement, so a recorded file never half-applies silently)
             done.add(fn)
+            self._save_pending_catchup(pending)
             _atomic_write(applied_path, json.dumps(sorted(done)))
-        self._catch_up_owed_tables()
+        self._catch_up_owed_tables(pending)
 
-    def _catch_up_owed_tables(self) -> None:
-        """Replay the on-disk changelog into EVERY streamed engine still
-        at stream_pos=-1 — not just engines added since the last poll: a
-        DROP TABLE + CREATE TABLE of the same name in one file leaves
-        the name registered before AND after (a set-diff would skip it
-        and silently lose its history), and a crash between the DDL
-        apply and a previous catch-up leaves the table owed on restart.
-        The out-of-band position is stamped into the checkpoint
-        (``oob_replay_until``) so the stream's later redelivery of the
-        covered offsets — possibly batched together with newer files —
-        is absorbed instead of tripping the out-of-order guard."""
+    def _pending_path(self) -> str:
+        return os.path.join(self.orch.root, "_ddl_pending_catchup.json")
+
+    def _load_pending_catchup(self) -> set[str]:
+        try:
+            with open(self._pending_path()) as f:
+                return set(json.load(f))
+        except FileNotFoundError:
+            return set()
+
+    def _save_pending_catchup(self, pending: set[str]) -> None:
+        _atomic_write(self._pending_path(), json.dumps(sorted(pending)))
+
+    def _catch_up_owed_tables(self, pending: set[str]) -> None:
+        """Replay the on-disk changelog into every DDL-created table
+        still at stream_pos=-1, then stamp the out-of-band position into
+        the checkpoint (``oob_replay_until``) so the stream's later
+        redelivery of the covered offsets — possibly batched together
+        with newer files — is absorbed instead of tripping the
+        out-of-order guard. A pending name whose engine has already
+        progressed (recreated and streamed, or dropped again) is simply
+        cleared."""
         from debezium_incubator_spark.sources.changelog import ParquetChangelog
 
-        for name in sorted(self.orch.engines):
-            eng = self.orch.engines[name]
-            ck = eng._reconcile(eng.store.latest())
-            if ck.get("phase") != "stream" or int(ck.get("stream_pos", -1)) >= 0:
-                continue
-            eng.run(
-                TableSlice(ParquetChangelog(self.changelog_dir), name),
-                offsets_per_epoch=self.catchup_offsets_per_epoch,
-            )
-            ck = eng._reconcile(eng.store.latest())
-            pos = int(ck.get("stream_pos", -1))
-            if pos >= 0:
-                ck["oob_replay_until"] = pos
-                eng.store.save(ck)
-                self.orch._ckpts.pop(name, None)  # force re-read of the stamp
+        for name in sorted(pending):
+            eng = self.orch.engines.get(name)
+            if eng is not None:
+                ck = eng._reconcile(eng.store.latest())
+                if ck.get("phase") == "stream" and int(ck.get("stream_pos", -1)) < 0:
+                    # the streamer's own schema keeps an EMPTY changelog
+                    # directory readable (schema inference has nothing
+                    # to infer before the first file lands)
+                    eng.run(
+                        TableSlice(ParquetChangelog(self.changelog_dir, schema=self.schema), name),
+                        offsets_per_epoch=self.catchup_offsets_per_epoch,
+                    )
+                    ck = eng._reconcile(eng.store.latest())
+                    pos = int(ck.get("stream_pos", -1))
+                    if pos >= 0:
+                        ck["oob_replay_until"] = pos
+                        eng.store.save(ck)
+                        self.orch._ckpts.pop(name, None)  # re-read the stamp
+                    else:
+                        continue  # nothing on disk yet: stays pending
+            pending.discard(name)
+            self._save_pending_catchup(pending)
 
     def _apply_batch(self, batch_df, epoch_id: int) -> None:
         if self.ddl_dir:

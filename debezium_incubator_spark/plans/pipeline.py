@@ -411,6 +411,7 @@ class CDCEngine:
             salt_buckets=self.salt_buckets,
             extra_counters=audit_counters,
             stats_rows=stats_rows,
+            trust_bucket_col=True,  # computed via this table's with_bucket above
         )
         if not stats["max_offsets"] and stats["counters"].get("events_in", 0) == 0:
             # K5 heartbeat: empty batch still advances the epoch/offsets

@@ -622,3 +622,48 @@ def test_oob_catchup_absorbs_spanning_batch(spark, tmp_path, fixtures):
     assert ck["counters"]["events_in"] == n_01
     # (a STREAM-advanced table with no oob stamp still raises on a
     # genuine span — covered by test_apply_batch_out_of_order_is_per_table)
+
+def test_ddl_catchup_pending_and_scope(spark, tmp_path, fixtures):
+    """Review r4 pass 2: (a) an EMPTY changelog directory must not crash
+    the DDL poll (schema-less parquet read); (b) only DDL-created tables
+    are owed an out-of-band replay — a table bootstrapped before the
+    stream starts gets its history FROM the stream, so the poll must not
+    eagerly replay the whole backlog into it; (c) a table created while
+    the changelog is empty stays durably pending until files land."""
+    import json as _json
+
+    from debezium_incubator_spark.plans.orchestrator import StreamingMultiTableCDC
+    from debezium_incubator_spark.sources.changelog import ParquetChangelog
+
+    src, log = fixtures
+    log_dir = str(tmp_path / "pclog")
+    os.makedirs(log_dir)  # EMPTY at stream start
+    root = str(tmp_path / "pcroot")
+    orch = MultiTableCDC(spark, root, num_buckets=4)
+    orch.create_table("files_00")
+    orch.bootstrap(src)
+    ddl_dir = tmp_path / "pcctl"
+    ddl_dir.mkdir()
+    (ddl_dir / "001.sql").write_text(CREATE_T1)
+    s = StreamingMultiTableCDC(orch, log_dir, str(tmp_path / "pcsck"), ddl_dir=str(ddl_dir))
+
+    s._poll_ddl()  # empty changelog: must not raise
+    assert "files_01" in orch.engines
+    with open(os.path.join(root, "_ddl_pending_catchup.json")) as f:
+        assert _json.load(f) == ["files_01"]  # stays pending, nothing on disk
+    # bootstrapped files_00 untouched: no out-of-band replay, no stamp
+    ck00 = orch.engines["files_00"]._reconcile(orch.engines["files_00"].store.latest())
+    assert int(ck00.get("stream_pos", -1)) == -1
+    assert int(ck00.get("oob_replay_until", -1)) == -1
+
+    log.coalesce(1).write.mode("append").parquet(log_dir)
+    s._poll_ddl()  # no new .sql files — the PENDING entry drives this
+    top = int(log.agg(F.max("offset")).first()[0])
+    ck01 = orch.engines["files_01"]._reconcile(orch.engines["files_01"].store.latest())
+    assert int(ck01["stream_pos"]) == top
+    assert int(ck01["oob_replay_until"]) == top
+    with open(os.path.join(root, "_ddl_pending_catchup.json")) as f:
+        assert _json.load(f) == []
+    # files_00 STILL untouched by the poll (its history comes from the stream)
+    ck00 = orch.engines["files_00"]._reconcile(orch.engines["files_00"].store.latest())
+    assert int(ck00.get("stream_pos", -1)) == -1
