@@ -61,12 +61,12 @@ def expire_changelog_files(
         first_seen = {}
     seen_this_pass: dict[str, float] = {}
     moved = []
-    for fn in sorted(os.listdir(changelog_dir)):
-        if not fn.endswith(".parquet"):
-            continue
-        path = os.path.join(changelog_dir, fn)
+
+    def _probe(fn: str):
+        """Footer max-offset probe; (fn, max_off, ok). Exceptions →
+        ok=False (corrupt/mid-write footer)."""
         try:
-            meta = pq.ParquetFile(path).metadata
+            meta = pq.ParquetFile(os.path.join(changelog_dir, fn)).metadata
             max_off = None
             for rg in range(meta.num_row_groups):
                 rgm = meta.row_group(rg)
@@ -75,9 +75,27 @@ def expire_changelog_files(
                     if col.path_in_schema == "offset" and col.statistics is not None:
                         m = col.statistics.max
                         max_off = m if max_off is None else max(max_off, m)
+            return fn, max_off, True
+        except Exception:
+            return fn, None, False
+
+    names = sorted(fn for fn in os.listdir(changelog_dir) if fn.endswith(".parquet"))
+    # footer probes run concurrently (a 100 TB changelog lists thousands
+    # of segments; serial driver-side opens were pure added latency);
+    # the move/quarantine phase below stays serial and ordered
+    if names:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(16, len(names))) as pool:
+            probed = list(pool.map(_probe, names))
+    else:
+        probed = []
+    for fn, max_off, ok in probed:
+        path = os.path.join(changelog_dir, fn)
+        if ok:
             if max_off is None:
                 continue
-        except Exception:
+        else:
             import warnings
 
             now = time.time()
