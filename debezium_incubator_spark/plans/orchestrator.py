@@ -57,6 +57,23 @@ class TableSlice:
         return df.filter(F.col(self.table_field) == F.lit(self.table))
 
 
+class _CappedChangelog:
+    """A changelog view bounded at a known-delivered watermark: the
+    auto-catch-up for an out-of-band attached table must replay exactly
+    what the stream already consumed (≤ watermark) — offsets beyond it
+    arrive from the stream normally."""
+
+    def __init__(self, inner, cap: int):
+        self.inner = inner
+        self.cap = int(cap)
+
+    def max_offset(self, spark: SparkSession, **kw) -> int:
+        return min(self.inner.max_offset(spark, **kw), self.cap)
+
+    def range(self, spark: SparkSession, start_exclusive: int, end_inclusive: int) -> DataFrame:
+        return self.inner.range(spark, start_exclusive, end_inclusive)
+
+
 class MultiTableCDC:
     def __init__(
         self,
@@ -191,11 +208,18 @@ class MultiTableCDC:
         self._save_registry(reg)
         return dropped
 
-    def apply_ddl_statements(self, statements: list[str]) -> int:
+    def apply_ddl_statements(
+        self, statements: list[str], created_names: list[str] | None = None
+    ) -> int:
         """Route parsed DDL by its table: CREATE TABLE provisions a new
         engine mid-stream (schema + PK from the parsed columns), DROP
         TABLE deregisters + removes, ALTER goes to the owning engine;
-        DDL for unregistered tables is the warn-and-skip path."""
+        DDL for unregistered tables is the warn-and-skip path. When
+        ``created_names`` is passed, the REGISTERED name of every table
+        this batch creates is appended to it (the streaming DDL channel
+        uses this to schedule history catch-ups — resolving names here,
+        where registration happens, avoids a second parse and a stale
+        case-resolution map)."""
         from debezium_incubator_spark.sources.ddl import (
             parse_ddl_batch,
             schema_from_create_action,
@@ -223,6 +247,8 @@ class MultiTableCDC:
                     warnings.warn(f"CREATE TABLE {tbl} skipped: {e}")
                     continue
                 self.create_table(name, ddl_action=action)
+                if created_names is not None:
+                    created_names.append(name)
                 applied += 1
             elif kind == "drop_table":
                 if self.drop_table(name):
@@ -412,8 +438,25 @@ class MultiTableCDC:
             # disjoint, and exactly-once is per-table (commit lock +
             # commit-THEN-checkpoint untouched)
             self._for_each_engine(apply_one)
+            # durable stream-delivered watermark: the highest offset any
+            # batch has carried. A table attached out-of-band later is
+            # owed exactly the history ≤ this mark (the file source will
+            # never redeliver it) — the streaming DDL poll uses it to
+            # scope catch-ups (see _catch_up_owed_tables)
+            if global_top > self.stream_watermark():
+                _atomic_write(
+                    os.path.join(self.root, "_stream_watermark.json"),
+                    json.dumps({"delivered_through": global_top}),
+                )
         finally:
             batch.unpersist(blocking=False)
+
+    def stream_watermark(self) -> int:
+        try:
+            with open(os.path.join(self.root, "_stream_watermark.json")) as f:
+                return int(json.load(f).get("delivered_through", -1))
+        except FileNotFoundError:
+            return -1
 
     # ------------------------------------------------------------- maintenance
     def maintain(
@@ -578,29 +621,19 @@ class StreamingMultiTableCDC(StreamingCDC):
             done = set()
         new = [f for f in files if f not in done]
         pending = self._load_pending_catchup()
-        if not new and not pending:
-            return
         for fn in new:
             with open(os.path.join(self.ddl_dir, fn)) as f:
                 stmts = split_ddl_script(f.read())
             # tables this file CREATES are owed a full-history replay —
-            # recorded DURABLY before the catch-up runs, and resolved by
-            # the DDL action (not an engine-set diff: a DROP + CREATE of
-            # the same name in one file leaves the set unchanged, and a
-            # crash between record and catch-up must self-heal on
-            # restart). Only DDL-created tables are owed: a table
-            # bootstrapped before the stream started gets its history
-            # from the stream itself (which delivers from the first
-            # file), so catching IT up here would replay the whole
-            # backlog out-of-band for nothing.
-            from debezium_incubator_spark.sources.ddl import parse_ddl_batch
-
-            ci = {k.lower(): k for k in self.orch.engines}
-            for a in parse_ddl_batch(stmts):
-                if a.get("action") == "create_table" and a.get("table"):
-                    short = a["table"].split(".")[-1]
-                    pending.add(ci.get(short.lower(), short.lower()))
-            self.orch.apply_ddl_statements(stmts)
+            # recorded DURABLY as the names apply actually REGISTERED
+            # (not an engine-set diff: a DROP + CREATE of the same name
+            # in one file leaves the set unchanged; and not a pre-apply
+            # case-resolution, which goes stale the moment the DROP
+            # lands). A crash between this record and the catch-up
+            # self-heals on restart.
+            made: list[str] = []
+            self.orch.apply_ddl_statements(stmts, created_names=made)
+            pending.update(made)
             # record per file: a failure in a later file retries ONLY
             # that file next trigger (apply is warn-and-skip per
             # statement, so a recorded file never half-applies silently)
@@ -622,39 +655,70 @@ class StreamingMultiTableCDC(StreamingCDC):
     def _save_pending_catchup(self, pending: set[str]) -> None:
         _atomic_write(self._pending_path(), json.dumps(sorted(pending)))
 
+    def _stamp_oob(self, name: str, eng, ck: dict, pos: int) -> None:
+        """Record the out-of-band position in the checkpoint so the
+        stream's redelivery of covered offsets (possibly batched with
+        newer files) is absorbed by apply_batch's guard."""
+        if pos > int(ck.get("oob_replay_until", -1)):
+            ck["oob_replay_until"] = pos
+            eng.store.save(ck)
+            self.orch._ckpts.pop(name, None)  # re-read the stamp
+
     def _catch_up_owed_tables(self, pending: set[str]) -> None:
-        """Replay the on-disk changelog into every DDL-created table
-        still at stream_pos=-1, then stamp the out-of-band position into
-        the checkpoint (``oob_replay_until``) so the stream's later
-        redelivery of the covered offsets — possibly batched together
-        with newer files — is absorbed instead of tripping the
-        out-of-order guard. A pending name whose engine has already
-        progressed (recreated and streamed, or dropped again) is simply
-        cleared."""
+        """Two classes of table are owed an out-of-band replay, both
+        stamped with ``oob_replay_until`` afterwards:
+
+        * EXPLICIT pending — tables a DDL file created mid-stream:
+          replayed through the changelog's current disk top. A pending
+          name whose engine already progressed is stamped (a crash
+          between a previous catch-up and its stamp must not leave the
+          stream to wedge on the redelivery span) and cleared.
+        * AUTO-owed — any engine still at stream_pos=-1 once the
+          durable stream watermark shows batches were delivered: a
+          table attached out-of-band (create_table + bootstrap between
+          stream runs) will NEVER see the files the source already
+          consumed, so it is owed exactly the history ≤ watermark. A
+          mid-drain quiet table (no rows among the delivered files)
+          pays one scoped scan that applies nothing and lands at the
+          watermark — after which it heartbeats normally. At a fresh
+          start the watermark is -1 and nothing happens (history
+          arrives from the stream's first files)."""
         from debezium_incubator_spark.sources.changelog import ParquetChangelog
 
+        log = ParquetChangelog(self.changelog_dir, schema=self.schema)
+        # the streamer's own schema keeps an EMPTY changelog directory
+        # readable (schema inference has nothing to infer before the
+        # first file lands)
         for name in sorted(pending):
             eng = self.orch.engines.get(name)
             if eng is not None:
                 ck = eng._reconcile(eng.store.latest())
-                if ck.get("phase") == "stream" and int(ck.get("stream_pos", -1)) < 0:
-                    # the streamer's own schema keeps an EMPTY changelog
-                    # directory readable (schema inference has nothing
-                    # to infer before the first file lands)
+                pos = int(ck.get("stream_pos", -1))
+                if ck.get("phase") == "stream" and pos < 0:
                     eng.run(
-                        TableSlice(ParquetChangelog(self.changelog_dir, schema=self.schema), name),
+                        TableSlice(log, name),
                         offsets_per_epoch=self.catchup_offsets_per_epoch,
                     )
                     ck = eng._reconcile(eng.store.latest())
                     pos = int(ck.get("stream_pos", -1))
-                    if pos >= 0:
-                        ck["oob_replay_until"] = pos
-                        eng.store.save(ck)
-                        self.orch._ckpts.pop(name, None)  # re-read the stamp
-                    else:
+                    if pos < 0:
                         continue  # nothing on disk yet: stays pending
+                self._stamp_oob(name, eng, ck, pos)
             pending.discard(name)
             self._save_pending_catchup(pending)
+        wm = self.orch.stream_watermark()
+        if wm < 0:
+            return
+        for name, eng in self.orch.engines.items():
+            ck = self.orch._ckpts.get(name) or eng._reconcile(eng.store.latest())
+            if ck.get("phase") != "stream" or int(ck.get("stream_pos", -1)) >= 0:
+                continue
+            eng.run(
+                TableSlice(_CappedChangelog(log, wm), name),
+                offsets_per_epoch=self.catchup_offsets_per_epoch,
+            )
+            ck = eng._reconcile(eng.store.latest())
+            self._stamp_oob(name, eng, ck, int(ck.get("stream_pos", -1)))
 
     def _apply_batch(self, batch_df, epoch_id: int) -> None:
         if self.ddl_dir:

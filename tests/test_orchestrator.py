@@ -667,3 +667,85 @@ def test_ddl_catchup_pending_and_scope(spark, tmp_path, fixtures):
     # files_00 STILL untouched by the poll (its history comes from the stream)
     ck00 = orch.engines["files_00"]._reconcile(orch.engines["files_00"].store.latest())
     assert int(ck00.get("stream_pos", -1)) == -1
+
+def test_pending_stamp_heals_after_crash(spark, tmp_path, fixtures):
+    """Review r4 pass 3 #1: a crash between a catch-up run and its
+    oob stamp leaves the table advanced but unstamped — re-polling must
+    stamp it (not silently discard the pending entry), or the stream
+    wedges on the first redelivery span."""
+    import json as _json
+
+    from debezium_incubator_spark.plans.orchestrator import StreamingMultiTableCDC
+    from debezium_incubator_spark.sources.changelog import ParquetChangelog
+
+    src, log = fixtures
+    log_dir = str(tmp_path / "stlog")
+    log.coalesce(1).write.mode("append").parquet(log_dir)
+    top = int(log.agg(F.max("offset")).first()[0])
+    root = str(tmp_path / "stroot")
+    orch = MultiTableCDC(spark, root, num_buckets=4)
+    orch.apply_ddl_statements([CREATE_T1])
+    # simulate: catch-up ran (table advanced) but the stamp write was
+    # lost to a crash — only the pending entry survives
+    orch.engines["files_01"].run(
+        TableSlice(ParquetChangelog(log_dir), "files_01"), offsets_per_epoch=top + 1
+    )
+    with open(os.path.join(root, "_ddl_pending_catchup.json"), "w") as f:
+        _json.dump(["files_01"], f)
+    s = StreamingMultiTableCDC(
+        orch, log_dir, str(tmp_path / "stsck"), ddl_dir=str(tmp_path / "stctl")
+    )
+    os.makedirs(str(tmp_path / "stctl"))
+    s._poll_ddl()
+    ck = orch.engines["files_01"]._reconcile(orch.engines["files_01"].store.latest())
+    assert int(ck["oob_replay_until"]) == top  # stamped, not discarded
+    with open(os.path.join(root, "_ddl_pending_catchup.json")) as f:
+        assert _json.load(f) == []
+    # the redelivery span is now absorbed instead of raising
+    orch.apply_batch(log)
+
+
+def test_out_of_band_attach_catches_up_to_watermark(spark, tmp_path, fixtures):
+    """Review r4 pass 3 #2: a table attached via create_table+bootstrap
+    BETWEEN stream runs sits at stream_pos=-1 while the file source's
+    checkpoint is already past its history — the poll replays it through
+    the durable stream watermark, so the final state matches a clean
+    full run."""
+    import time
+
+    from debezium_incubator_spark.plans.orchestrator import StreamingMultiTableCDC
+
+    src, log = fixtures
+    expected = {n: _final(_clean_run(spark, tmp_path, src, log, sub="cleanoob"), n)
+                for n in ("files_00", "files_01")}
+    top = int(log.agg(F.max("offset")).first()[0])
+    cut = int(log.agg(F.expr("percentile_approx(offset, 0.8)")).first()[0])
+
+    log_dir = str(tmp_path / "oalog")
+    log.filter(F.col("offset") <= cut).coalesce(1).write.mode("append").parquet(log_dir)
+    root = str(tmp_path / "oaroot")
+    sck = str(tmp_path / "oasck")
+    ddl_dir = tmp_path / "oactl"
+    ddl_dir.mkdir()
+
+    orch = MultiTableCDC(spark, root, num_buckets=4)
+    orch.create_table("files_00")
+    orch.bootstrap(src)
+    s = StreamingMultiTableCDC(orch, log_dir, sck, ddl_dir=str(ddl_dir))
+    s.run_until_caught_up(spark, timeout_s=180)  # consumes the first 80%
+    assert orch.stream_watermark() > 0
+
+    # operator attaches files_01 out-of-band between runs
+    orch.create_table("files_01")
+    orch.bootstrap(src)
+    assert int(orch.engines["files_01"].store.latest().get("stream_pos", -1)) == -1
+
+    # new tail lands; the restarted stream delivers ONLY it — files_01's
+    # earlier history must come from the watermark-bounded catch-up
+    time.sleep(0.05)
+    log.filter(F.col("offset") > cut).coalesce(1).write.mode("append").parquet(log_dir)
+    s2 = StreamingMultiTableCDC(orch, log_dir, sck, ddl_dir=str(ddl_dir))
+    s2.run_until_caught_up(spark, timeout_s=180)
+
+    for n in ("files_00", "files_01"):
+        assert _final(orch, n) == expected[n]
