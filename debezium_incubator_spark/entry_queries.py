@@ -1162,3 +1162,99 @@ ORACLES["multi_table_replay"] = f"""
 """
 
 ORACLES = {k: v for k, v in ORACLES.items() if v is not None}
+
+DDL_CHANNEL_ORACLE_DIR = f"/tmp/cdc_ddlchannel_oracle_{_os.getuid()}"
+
+
+def q_ddl_channel_replay(spark, sf):
+    """Round-4 flagship: the mid-stream DDL channel. ONE readStream over
+    a shared two-table changelog; files_00 is registered + bootstrapped
+    up front, files_01 arrives as a CREATE TABLE ``.sql`` in the DDL
+    control directory and is provisioned BY THE RUNNING STREAM
+    (StreamingMultiTableCDC._poll_ddl): the catch-up replays its history
+    out-of-band, stamps ``oob_replay_until``, and the stream's own
+    redelivery of the covered files is absorbed by the per-table guard
+    (≙ DDL LCRs interleaved with data,
+    OracleSchemaChangeEventEmitter.java:42-63 / OracleConnectorIT.java
+    :501-540). The oracle recomputes both tables' final LWW states from
+    the same parquet — files_01 WITHOUT snapshot rows (it joined
+    mid-stream, changelog-only)."""
+    import shutil
+    import tempfile
+    import time
+
+    from debezium_incubator_spark.plans.orchestrator import (
+        MultiTableCDC,
+        StreamingMultiTableCDC,
+    )
+    from debezium_incubator_spark.sources.generator import gen_changelog, gen_source_table
+
+    base = DDL_CHANNEL_ORACLE_DIR
+    gen_source_table(spark, n_keys=300, n_repos=10, n_tables=2).write.mode(
+        "overwrite"
+    ).parquet(f"{base}/source")
+    log = gen_changelog(spark, n_keys=300, n_repos=10, n_slots=1200, n_tables=2)
+    top = int(log.agg(F.max("offset")).first()[0])
+    half = top // 2
+    shutil.rmtree(f"{base}/changelog", ignore_errors=True)
+    # two files → multiple micro-batches at maxFilesPerTrigger=1; the
+    # oracle reads the union, so the split is invisible to it
+    log.filter(F.col("offset") <= half).coalesce(1).write.mode("append").parquet(
+        f"{base}/changelog"
+    )
+    time.sleep(0.05)  # distinct mtimes → deterministic delivery order
+    log.filter(F.col("offset") > half).coalesce(1).write.mode("append").parquet(
+        f"{base}/changelog"
+    )
+
+    work = tempfile.mkdtemp(prefix="cdc_ddlch_")
+    orch = MultiTableCDC(spark, f"{work}/root", num_buckets=8)
+    orch.create_table("files_00")
+    orch.bootstrap(spark.read.parquet(f"{base}/source"))
+    ddl_dir = f"{work}/ddl"
+    _os.makedirs(ddl_dir)
+    with open(f"{ddl_dir}/001_create.sql", "w") as f:
+        f.write(
+            'CREATE TABLE repos.files_01 ("repo" varchar2(100), '
+            '"path" varchar2(500), "commit" varchar2(40), "lang" varchar2(10), '
+            '"content" clob, PRIMARY KEY ("repo", "path"));'
+        )
+    s = StreamingMultiTableCDC(
+        orch, f"{base}/changelog", f"{work}/sck",
+        max_files_per_trigger=1, ddl_dir=ddl_dir,
+    )
+    s.run_until_caught_up(spark, timeout_s=240)
+    outs = [
+        orch.final_state(name).select(
+            F.lit(name).alias("src_table"),
+            "repo", "path", "commit", "lang", "content_sha256",
+        )
+        for name in ("files_00", "files_01")
+    ]
+    return outs[0].unionByName(outs[1])
+
+
+QUERIES["ddl_channel_replay"] = q_ddl_channel_replay
+
+# DDL-channel replay: files_00 = snapshot ∪ changelog (registered up
+# front), files_01 = changelog ONLY (provisioned mid-stream by the DDL
+# channel, no snapshot source) — each table's LWW runs independently.
+ORACLES["ddl_channel_replay"] = f"""
+    WITH snap AS (
+      SELECT src_table, CAST(-1 AS BIGINT) AS o, 'r' AS op, repo, path,
+             "commit", lang, content
+      FROM read_parquet('{DDL_CHANNEL_ORACLE_DIR}/source/*.parquet')
+      WHERE src_table = 'files_00'),
+    ev AS (
+      SELECT source."table" AS src_table, "offset" AS o, op, repo, path,
+             after."commit" AS "commit", after.lang AS lang,
+             after.content AS content
+      FROM read_parquet('{DDL_CHANNEL_ORACLE_DIR}/changelog/*.parquet')),
+    allv AS (SELECT * FROM snap UNION ALL SELECT * FROM ev),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY src_table, repo, path ORDER BY o DESC) rn
+      FROM allv)
+    SELECT src_table, repo, path, "commit", lang,
+           lower(sha256(content)) AS content_sha256
+    FROM ranked WHERE rn = 1 AND op NOT IN ('d', 't')
+"""
