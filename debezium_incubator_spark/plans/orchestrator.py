@@ -71,7 +71,9 @@ class _CappedChangelog:
         return min(self.inner.max_offset(spark, **kw), self.cap)
 
     def range(self, spark: SparkSession, start_exclusive: int, end_inclusive: int) -> DataFrame:
-        return self.inner.range(spark, start_exclusive, end_inclusive)
+        # self-enforcing: the bound must hold even for a caller that
+        # does not derive its ranges from max_offset()
+        return self.inner.range(spark, start_exclusive, min(end_inclusive, self.cap))
 
 
 class MultiTableCDC:
@@ -246,8 +248,13 @@ class MultiTableCDC:
                     # must not abort the rest of the batch
                     warnings.warn(f"CREATE TABLE {tbl} skipped: {e}")
                     continue
+                existed = name in self.engines
                 self.create_table(name, ddl_action=action)
-                if created_names is not None:
+                # only names actually PROVISIONED are reported: an
+                # idempotent re-CREATE of a live, streaming table must
+                # not re-enter the catch-up pipeline (a spurious oob
+                # stamp there would blind the out-of-order guard)
+                if created_names is not None and not existed:
                     created_names.append(name)
                 applied += 1
             elif kind == "drop_table":
@@ -640,7 +647,7 @@ class StreamingMultiTableCDC(StreamingCDC):
             done.add(fn)
             self._save_pending_catchup(pending)
             _atomic_write(applied_path, json.dumps(sorted(done)))
-        self._catch_up_owed_tables(pending)
+        self._catch_up_pending(pending)
 
     def _pending_path(self) -> str:
         return os.path.join(self.orch.root, "_ddl_pending_catchup.json")
@@ -664,37 +671,51 @@ class StreamingMultiTableCDC(StreamingCDC):
             eng.store.save(ck)
             self.orch._ckpts.pop(name, None)  # re-read the stamp
 
-    def _catch_up_owed_tables(self, pending: set[str]) -> None:
-        """Two classes of table are owed an out-of-band replay, both
-        stamped with ``oob_replay_until`` afterwards:
-
-        * EXPLICIT pending — tables a DDL file created mid-stream:
-          replayed through the changelog's current disk top. A pending
-          name whose engine already progressed is stamped (a crash
-          between a previous catch-up and its stamp must not leave the
-          stream to wedge on the redelivery span) and cleared.
-        * AUTO-owed — any engine still at stream_pos=-1 once the
-          durable stream watermark shows batches were delivered: a
-          table attached out-of-band (create_table + bootstrap between
-          stream runs) will NEVER see the files the source already
-          consumed, so it is owed exactly the history ≤ watermark. A
-          mid-drain quiet table (no rows among the delivered files)
-          pays one scoped scan that applies nothing and lands at the
-          watermark — after which it heartbeats normally. At a fresh
-          start the watermark is -1 and nothing happens (history
-          arrives from the stream's first files)."""
+    def _changelog_view(self):
         from debezium_incubator_spark.sources.changelog import ParquetChangelog
 
-        log = ParquetChangelog(self.changelog_dir, schema=self.schema)
         # the streamer's own schema keeps an EMPTY changelog directory
         # readable (schema inference has nothing to infer before the
         # first file lands)
+        return ParquetChangelog(self.changelog_dir, schema=self.schema)
+
+    def _warn_if_history_archived(self, name: str) -> None:
+        """An out-of-band catch-up can only replay what is still on
+        disk: if maintain()'s GC already archived segments, history ≤
+        its recorded watermark is gone and the table being healed may be
+        INCOMPLETE — warn loudly (≙ gc_blocked_by observability) rather
+        than silently producing a partial table."""
+        try:
+            with open(os.path.join(self.changelog_dir, "_gc_state.json")) as f:
+                at = int(json.load(f).get("archived_through", -1))
+        except (FileNotFoundError, ValueError):
+            return
+        if at >= 0:
+            warnings.warn(
+                f"out-of-band catch-up for table {name}: changelog offsets ≤ {at} "
+                f"were archived by GC and cannot be replayed — the table may be "
+                f"missing that history (restore from _archive/ and re-create to heal)"
+            )
+
+    def _catch_up_pending(self, pending: set[str]) -> None:
+        """EXPLICIT pending — tables a DDL file created mid-stream:
+        replayed through the changelog's current disk top, then stamped
+        with ``oob_replay_until``. A pending name whose engine already
+        progressed is stamped too (a crash between a previous catch-up
+        and its stamp must not leave the stream to wedge on the
+        redelivery span) and cleared — apply only records names it
+        actually PROVISIONED, so a duplicate CREATE for a live table
+        never enters pending and never gets a spurious stamp."""
+        if not pending:
+            return
+        log = self._changelog_view()
         for name in sorted(pending):
             eng = self.orch.engines.get(name)
             if eng is not None:
                 ck = eng._reconcile(eng.store.latest())
                 pos = int(ck.get("stream_pos", -1))
                 if ck.get("phase") == "stream" and pos < 0:
+                    self._warn_if_history_archived(name)
                     eng.run(
                         TableSlice(log, name),
                         offsets_per_epoch=self.catchup_offsets_per_epoch,
@@ -706,13 +727,31 @@ class StreamingMultiTableCDC(StreamingCDC):
                 self._stamp_oob(name, eng, ck, pos)
             pending.discard(name)
             self._save_pending_catchup(pending)
+
+    def _heal_out_of_band_tables(self) -> None:
+        """AUTO-owed — any engine still at stream_pos=-1 once the
+        durable stream watermark shows batches were delivered: a table
+        attached out-of-band (create_table + bootstrap between stream
+        runs) will NEVER see the files the source already consumed, so
+        it is owed exactly the history ≤ watermark (``_CappedChangelog``
+        bounds the replay; offsets beyond arrive from the stream). A
+        mid-drain quiet table (no rows among the delivered files) pays
+        one scoped scan that applies nothing and lands at the watermark
+        — after which it heartbeats normally. At a fresh start the
+        watermark is -1 and nothing happens (history arrives from the
+        stream's first files). Runs on EVERY trigger — with or without a
+        DDL channel — since the attach path is orthogonal to DDL."""
         wm = self.orch.stream_watermark()
         if wm < 0:
             return
+        log = None
         for name, eng in self.orch.engines.items():
             ck = self.orch._ckpts.get(name) or eng._reconcile(eng.store.latest())
             if ck.get("phase") != "stream" or int(ck.get("stream_pos", -1)) >= 0:
                 continue
+            self._warn_if_history_archived(name)
+            if log is None:
+                log = self._changelog_view()
             eng.run(
                 TableSlice(_CappedChangelog(log, wm), name),
                 offsets_per_epoch=self.catchup_offsets_per_epoch,
@@ -723,6 +762,7 @@ class StreamingMultiTableCDC(StreamingCDC):
     def _apply_batch(self, batch_df, epoch_id: int) -> None:
         if self.ddl_dir:
             self._poll_ddl()
+        self._heal_out_of_band_tables()
         self.orch.apply_batch(batch_df)
 
     def run_until(self, spark: SparkSession, stop_condition, **kw) -> None:

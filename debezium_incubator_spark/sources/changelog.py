@@ -52,8 +52,6 @@ class ParquetChangelog:
     def _footer_max_offset(self) -> int | None:
         import os
 
-        import pyarrow.parquet as pq
-
         top = None
         try:
             names = [
@@ -62,16 +60,10 @@ class ParquetChangelog:
             if not names:
                 return None
             for fn in names:
-                meta = pq.ParquetFile(os.path.join(self.path, fn)).metadata
-                for rg in range(meta.num_row_groups):
-                    rgm = meta.row_group(rg)
-                    for ci in range(rgm.num_columns):
-                        col = rgm.column(ci)
-                        if col.path_in_schema == "offset":
-                            if col.statistics is None or not col.statistics.has_min_max:
-                                return None
-                            m = int(col.statistics.max)
-                            top = m if top is None else max(top, m)
+                m = file_footer_offset_max(os.path.join(self.path, fn))
+                if m is None:
+                    return None  # stats absent → Spark aggregate fallback
+                top = m if top is None else max(top, m)
         except Exception:
             # not just OSError: a corrupt or mid-write segment makes
             # pyarrow raise ArrowInvalid — any unreadable footer means
@@ -105,3 +97,26 @@ class DataFrameChangelog:
         return self.df.filter(
             (F.col("offset") > F.lit(start_exclusive)) & (F.col("offset") <= F.lit(end_inclusive))
         )
+
+
+def file_footer_offset_max(path: str):
+    """Max ``offset`` across one parquet file's row-group footer stats;
+    ``None`` when any row group lacks min/max statistics for the column.
+    Raises whatever pyarrow raises on an unreadable/corrupt footer —
+    callers decide between fallback (ParquetChangelog) and quarantine
+    (gc.expire_changelog_files). Shared so the two footer walks cannot
+    drift."""
+    import pyarrow.parquet as pq
+
+    meta = pq.ParquetFile(path).metadata
+    top = None
+    for rg in range(meta.num_row_groups):
+        rgm = meta.row_group(rg)
+        for ci in range(rgm.num_columns):
+            col = rgm.column(ci)
+            if col.path_in_schema == "offset":
+                if col.statistics is None or not col.statistics.has_min_max:
+                    return None
+                m = int(col.statistics.max)
+                top = m if top is None else max(top, m)
+    return top

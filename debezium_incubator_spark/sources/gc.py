@@ -43,8 +43,6 @@ def expire_changelog_files(
     import json
     import time
 
-    import pyarrow.parquet as pq
-
     counters = counters if counters is not None else {}
     counters.setdefault("archived", 0)
     counters.setdefault("errors", 0)
@@ -56,26 +54,25 @@ def expire_changelog_files(
     state_path = os.path.join(changelog_dir, "_gc_state.json")
     try:
         with open(state_path) as f:
-            first_seen: dict[str, float] = json.load(f).get("unreadable", {})
+            _state = json.load(f)
+        first_seen: dict[str, float] = _state.get("unreadable", {})
+        archived_through = int(_state.get("archived_through", -1))
     except Exception:
         first_seen = {}
+        archived_through = -1
     seen_this_pass: dict[str, float] = {}
     moved = []
 
     def _probe(fn: str):
         """Footer max-offset probe; (fn, max_off, ok). Exceptions →
-        ok=False (corrupt/mid-write footer)."""
+        ok=False (corrupt/mid-write footer → quarantine path). max_off
+        None with ok=True means stats are absent: the file is SKIPPED
+        (never archived) — conservative, and Spark-written segments
+        always carry stats."""
+        from debezium_incubator_spark.sources.changelog import file_footer_offset_max
+
         try:
-            meta = pq.ParquetFile(os.path.join(changelog_dir, fn)).metadata
-            max_off = None
-            for rg in range(meta.num_row_groups):
-                rgm = meta.row_group(rg)
-                for ci in range(rgm.num_columns):
-                    col = rgm.column(ci)
-                    if col.path_in_schema == "offset" and col.statistics is not None:
-                        m = col.statistics.max
-                        max_off = m if max_off is None else max(max_off, m)
-            return fn, max_off, True
+            return fn, file_footer_offset_max(os.path.join(changelog_dir, fn)), True
         except Exception:
             return fn, None, False
 
@@ -118,12 +115,20 @@ def expire_changelog_files(
                 os.unlink(path)
             counters["archived"] += 1
             moved.append(fn)
+    if moved:
+        # history ≤ low_water is no longer guaranteed on disk — a later
+        # out-of-band catch-up (a table attached after this GC) cannot
+        # replay it from here; the monotone mark lets that path warn
+        # loudly instead of silently producing an incomplete table
+        archived_through = max(archived_through, low_water)
     # persist first-seen state (files that became readable or were moved
     # drop out automatically: only this pass's sightings are kept)
     try:
         tmp = f"{state_path}.tmp.{os.getpid()}"
         with open(tmp, "w") as f:
-            json.dump({"unreadable": seen_this_pass}, f)
+            json.dump(
+                {"unreadable": seen_this_pass, "archived_through": archived_through}, f
+            )
         os.replace(tmp, state_path)
     except OSError:
         pass  # state is an optimization; next pass restarts the clock
