@@ -1258,3 +1258,77 @@ ORACLES["ddl_channel_replay"] = f"""
            lower(sha256(content)) AS content_sha256
     FROM ranked WHERE rn = 1 AND op NOT IN ('d', 't')
 """
+
+PARTIAL_IMAGE_ORACLE_DIR = f"/tmp/cdc_partialimg_oracle_{_os.getuid()}"
+
+
+def q_partial_image_merge(spark, sf):
+    """VERDICT r4 #2: the cell set-flag merge path under a cross-engine
+    oracle (null-vs-unset, CellData.java:27-87 'set';
+    CommitLogReadHandlerImpl.java:351-410 populates only mutated cells).
+    Three chained merge epochs of ≤1-event-per-key partial updates: a
+    field outside ``after_set`` must KEEP the current table value across
+    epochs, a field inside it may be explicitly set to NULL. The oracle
+    recomputes field-wise: each field's final value is the one carried
+    by the LAST event that SET that field (op 'c' and full images set
+    everything), else the initial snapshot value — exactly the chained
+    coalesce `operators/merge.py:_coalesce_partial` performs."""
+    import tempfile
+
+    from debezium_incubator_spark.lake.table import LakeTable
+    from debezium_incubator_spark.operators.merge import merge_upsert
+    from debezium_incubator_spark.sources.generator import gen_partial_updates
+
+    base = PARTIAL_IMAGE_ORACLE_DIR
+    initial, events = gen_partial_updates(spark, n_keys=200, n_epochs=3)
+    initial.write.mode("overwrite").parquet(f"{base}/initial")
+    events.write.mode("overwrite").parquet(f"{base}/events")
+
+    work = tempfile.mkdtemp(prefix="cdc_partial_")
+    init_df = spark.read.parquet(f"{base}/initial")
+    t = LakeTable.create(
+        f"{work}/table", init_df.schema, bucket_cols=["repo", "path"], num_buckets=8
+    )
+    t.commit(t.with_bucket(init_df), replace_buckets=range(8), summary={"epoch": 0})
+    ev = spark.read.parquet(f"{base}/events")
+    for e in range(3):
+        batch = ev.filter(
+            (F.col("offset") >= e * 10_000) & (F.col("offset") < (e + 1) * 10_000)
+        )
+        merge_upsert(
+            t, batch, ["repo", "path"], ["offset", "op"],
+            summary={"epoch": e + 1}, after_set_col="after_set",
+        )
+    return t.read(spark).select("repo", "path", "commit", "lang", "content")
+
+
+QUERIES["partial_image_merge"] = q_partial_image_merge
+
+# Field-wise recomputation: for each payload field, the last event that
+# SET it (op <> 'u' = full image by construction; after_set NULL = full
+# image; otherwise membership in after_set) wins — including an explicit
+# NULL — else the initial value. The join-presence flag (j.repo IS NOT
+# NULL), not coalesce(), keeps set-to-NULL distinct from never-set.
+_PI_FIELD = """
+    last_{f} AS (
+      SELECT repo, path, "{f}" FROM (
+        SELECT repo, path, "{f}",
+               row_number() OVER (PARTITION BY repo, path ORDER BY "offset" DESC) rn
+        FROM ev WHERE op <> 'u' OR after_set IS NULL OR list_contains(after_set, '{f}'))
+      WHERE rn = 1)"""
+
+ORACLES["partial_image_merge"] = f"""
+    WITH init AS (SELECT * FROM read_parquet('{PARTIAL_IMAGE_ORACLE_DIR}/initial/*.parquet')),
+    ev AS (SELECT * FROM read_parquet('{PARTIAL_IMAGE_ORACLE_DIR}/events/*.parquet')),
+    {_PI_FIELD.format(f="commit")},
+    {_PI_FIELD.format(f="lang")},
+    {_PI_FIELD.format(f="content")}
+    SELECT i.repo, i.path,
+           CASE WHEN c.repo IS NOT NULL THEN c."commit" ELSE i."commit" END AS "commit",
+           CASE WHEN l.repo IS NOT NULL THEN l.lang ELSE i.lang END AS lang,
+           CASE WHEN t.repo IS NOT NULL THEN t.content ELSE i.content END AS content
+    FROM init i
+    LEFT JOIN last_commit c ON i.repo = c.repo AND i.path = c.path
+    LEFT JOIN last_lang l ON i.repo = l.repo AND i.path = l.path
+    LEFT JOIN last_content t ON i.repo = t.repo AND i.path = t.path
+"""

@@ -156,9 +156,13 @@ class LakeTable:
             if len(self._manifest_cache) >= 8:  # bounded: recovery walks few versions
                 try:
                     # the stats-prefetch thread and the commit thread can
-                    # both be here — eviction is best-effort under races
-                    self._manifest_cache.pop(next(iter(self._manifest_cache)), None)
-                except (StopIteration, RuntimeError):
+                    # both be here — eviction is best-effort under races.
+                    # Evict the LOWEST version, not insertion order: under
+                    # concurrent insertion, insertion order could evict the
+                    # hot current version right after it was cached
+                    # (ADVICE r4 — correctness unaffected, re-reads avoided)
+                    self._manifest_cache.pop(min(self._manifest_cache), None)
+                except (ValueError, RuntimeError, KeyError):
                     pass
             self._manifest_cache[v] = m
         return m

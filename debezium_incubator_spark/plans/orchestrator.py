@@ -435,6 +435,15 @@ class MultiTableCDC:
                         f"table {name}: batch spans checkpointed stream_pos={last}: "
                         f"offsets [{lo_t}, {top_t}]"
                     )
+                stamp = int(ckpt.get("oob_replay_until", -1))
+                if stamp >= 0 and lo_t > stamp:
+                    # ADVICE r4: the stream has moved WHOLLY past the
+                    # catch-up span — redelivery of covered offsets is
+                    # over (ordered file delivery), so close the absorb
+                    # window now instead of waiting for stream_pos to
+                    # advance: never-seen offsets below the stamp become
+                    # genuine disorder again on the very next batch
+                    ckpt = {**ckpt, "oob_replay_until": -1}
                 rows = batch.filter(F.col(table_field) == F.lit(name))
                 self._ckpts[name] = eng.apply_epoch(
                     rows, stream_pos=max(global_top, last), ckpt=ckpt

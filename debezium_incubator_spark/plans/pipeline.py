@@ -490,10 +490,15 @@ class CDCEngine:
                 applied.append(ckpt)
                 n += 1
         finally:
+            # ADVICE r4: cancel() can't stop an already-RUNNING prefetch,
+            # and shutdown(wait=False) would let that live Spark scan
+            # outlive run() — a subsequent DROP TABLE rmtree or
+            # store.reset() then races a scan over deleted files. Wait it
+            # out (bounded: a stats collect is one small aggregate).
             if pending is not None:
                 pending[2].cancel()
             if pool is not None:
-                pool.shutdown(wait=False)
+                pool.shutdown(wait=True, cancel_futures=True)
         if applied and self.store.latest()["epoch"] < ckpt["epoch"]:
             self.store.save(ckpt)  # final flush (periodic policy tail)
         return applied

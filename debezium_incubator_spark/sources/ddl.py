@@ -263,6 +263,9 @@ def parse_ddl_batch(statements: list[str]) -> list[dict]:
     return out
 
 
+_STMT_KEYWORD = re.compile(r"\s*(?:CREATE|ALTER|GRANT|DROP\s+TABLE)\b", re.IGNORECASE)
+
+
 def split_ddl_script(text: str) -> list[str]:
     """Split a DDL script into statements: ;-separated AND
     newline-separated (a newline followed by a statement-STARTING
@@ -271,8 +274,38 @@ def split_ddl_script(text: str) -> list[str]:
     "ALTER TABLE t\\n  DROP (a, b);" legally continues with DROP — but
     "DROP TABLE" is unambiguous (no ALTER clause starts with it), so it
     splits like CREATE/ALTER/GRANT rather than being silently glued
-    onto the previous statement."""
-    parts = re.split(
-        r";|\n(?=\s*(?:CREATE|ALTER|GRANT|DROP\s+TABLE)\b)", text, flags=re.IGNORECASE
-    )
-    return [s.strip() + ";" for s in parts if s and s.strip()]
+    onto the previous statement.
+
+    Separators inside single-quoted string literals are inert (ADVICE
+    r4): a DEFAULT 'a;b' or a literal whose next line begins with
+    CREATE must not split mid-statement — the warn-and-skip apply path
+    would then silently drop both halves. Oracle escapes a quote inside
+    a literal by doubling it ('') — that keeps the quote state."""
+    stmts: list[str] = []
+    buf: list[str] = []
+    in_quote = False
+    i, n = 0, len(text)
+    while i < n:
+        ch = text[i]
+        if ch == "'":
+            if in_quote and i + 1 < n and text[i + 1] == "'":
+                buf.append("''")
+                i += 2
+                continue
+            in_quote = not in_quote
+        elif not in_quote:
+            if ch == ";":
+                stmts.append("".join(buf))
+                buf = []
+                i += 1
+                continue
+            if ch == "\n" and "".join(buf).strip() and _STMT_KEYWORD.match(text, i + 1):
+                stmts.append("".join(buf))
+                buf = []
+                i += 1
+                continue
+        buf.append(ch)
+        i += 1
+    if buf:
+        stmts.append("".join(buf))
+    return [s.strip() + ";" for s in stmts if s.strip()]

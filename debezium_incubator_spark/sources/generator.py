@@ -286,3 +286,96 @@ def gen_changelog(
         )
         log = log.unionByName(dups)
     return log
+
+
+def gen_partial_updates(
+    spark: SparkSession,
+    n_keys: int = 200,
+    n_epochs: int = 3,
+    seed: int = 42,
+    touch_pct: int = 55,
+) -> tuple[DataFrame, DataFrame]:
+    """F3 — partial-image fixture for the cell set-flag merge path
+    (null-vs-unset, CellData.java:27-87 'set' sub-field;
+    CommitLogReadHandlerImpl.java:351-410 populates only the mutated
+    cells of a row update).
+
+    Returns ``(initial, events)``:
+
+    * ``initial`` — one full row per key: (repo, path, commit, lang,
+      content), the pre-stream table state.
+    * ``events`` — per epoch, ≤1 event per key (offset = epoch*10_000 +
+      key id, so epochs are disjoint offset ranges and chained-epoch
+      semantics are SQL-expressible as "last event that SET the field").
+      Each update carries ``after_set`` (the list of payload fields the
+      event actually sets); fields outside it are NULL in the event and
+      must KEEP the current table value, while a field inside it may be
+      explicitly set to NULL (~20% of set langs) — the very distinction
+      the flag exists for. ~10% of events are full images
+      (``after_set`` NULL); a third of those are op 'c' re-creates.
+      No deletes by design: destructive paths are pinned by the replay
+      queries; this fixture isolates field-wise coalescing.
+
+    Pure function of (seed, key, epoch) — JVM-side expressions only.
+    """
+    lang_arr = F.array(*[F.lit(x) for x in LANGS])
+
+    ids = spark.range(0, n_keys).select(F.col("id").cast("long").alias("kid"))
+    repo = F.format_string("org%02d/repo-%04d", F.pmod(F.col("kid"), F.lit(10)), F.pmod(F.col("kid"), F.lit(25)))
+    path = F.format_string("src/f%05d.py", F.col("kid"))
+    init_commit = F.substring(F.sha2(F.concat(F.lit("pi0|"), path), 256), 1, 40)
+    initial = ids.select(
+        repo.alias("repo"),
+        path.alias("path"),
+        init_commit.alias("commit"),
+        F.element_at(lang_arr, (F.pmod(F.col("kid"), F.lit(len(LANGS))) + 1).cast("int")).alias("lang"),
+        F.concat(F.lit("init | "), path).alias("content"),
+    )
+
+    epochs = spark.range(0, n_epochs).select(F.col("id").cast("long").alias("ep"))
+    grid = ids.crossJoin(epochs)
+    p, e = F.col("kid"), F.col("ep")
+    pe = F.concat(F.format_string("src/f%05d.py", p), F.lit("|"), e.cast("string"))
+    touched = F.pmod(F.xxhash64(pe, F.lit("pi_has"), F.lit(seed)), F.lit(100)) < F.lit(touch_pct)
+    grid = grid.filter(touched)
+    grid = grid.withColumn("repo", repo).withColumn("path", F.format_string("src/f%05d.py", p))
+
+    mask = (F.pmod(F.xxhash64(pe, F.lit("pi_set"), F.lit(seed)), F.lit(7)) + 1).cast("int")
+    full = F.pmod(F.xxhash64(pe, F.lit("pi_full"), F.lit(seed)), F.lit(10)) == 0
+    op = F.when(
+        full & (F.pmod(F.xxhash64(pe, F.lit("pi_op"), F.lit(seed)), F.lit(3)) == 0),
+        F.lit("c"),
+    ).otherwise(F.lit("u"))
+    set_commit = full | (F.pmod(mask, F.lit(2)) == 1)
+    set_lang = full | (F.pmod(F.floor(mask / 2), F.lit(2)) == 1)
+    set_content = full | (F.pmod(F.floor(mask / 4), F.lit(2)) == 1)
+
+    new_commit = F.substring(F.sha2(F.concat(F.lit("pi|"), pe), 256), 1, 40)
+    lang_null = F.pmod(F.xxhash64(pe, F.lit("pi_lnull"), F.lit(seed)), F.lit(5)) == 0
+    new_lang = F.when(lang_null, F.lit(None).cast("string")).otherwise(
+        F.element_at(lang_arr, (F.pmod(F.xxhash64(pe, F.lit("pi_lang"), F.lit(seed)), F.lit(len(LANGS))) + 1).cast("int"))
+    )
+    new_content = F.format_string("v%d of src/f%05d.py", e, p)
+
+    ns = F.lit(None).cast("string")
+    after_set = F.when(full, F.lit(None).cast("array<string>")).otherwise(
+        F.filter(
+            F.array(
+                F.when(set_commit, F.lit("commit")).otherwise(ns),
+                F.when(set_lang, F.lit("lang")).otherwise(ns),
+                F.when(set_content, F.lit("content")).otherwise(ns),
+            ),
+            lambda x: x.isNotNull(),
+        )
+    )
+    events = grid.select(
+        "repo",
+        "path",
+        F.when(set_commit, new_commit).otherwise(ns).alias("commit"),
+        F.when(set_lang, new_lang).otherwise(ns).alias("lang"),
+        F.when(set_content, new_content).otherwise(ns).alias("content"),
+        op.alias("op"),
+        (e * 10_000 + p).alias("offset"),
+        after_set.alias("after_set"),
+    )
+    return initial, events

@@ -108,6 +108,27 @@ def test_split_ddl_script_drop_table_lookahead():
     assert stmts[3].startswith("DROP TABLE t4")
 
 
+def test_split_ddl_script_quote_aware():
+    """ADVICE r4: ';' and line-initial keywords INSIDE single-quoted
+    literals must not split the statement (the warn-and-skip apply path
+    would silently drop both halves); '' is an escaped quote, not a
+    close."""
+    from debezium_incubator_spark.sources.ddl import split_ddl_script
+
+    text = (
+        "ALTER TABLE t1 ADD (note varchar2(64) DEFAULT 'a;b')\n"
+        "ALTER TABLE t2 ADD (hint varchar2(64) DEFAULT 'line1\nCREATE fake')\n"
+        "ALTER TABLE t3 ADD (q varchar2(8) DEFAULT 'it''s;ok');\n"
+        "DROP TABLE t4;"
+    )
+    stmts = split_ddl_script(text)
+    assert len(stmts) == 4
+    assert "'a;b'" in stmts[0]
+    assert "CREATE fake" in stmts[1] and stmts[1].startswith("ALTER TABLE t2")
+    assert "it''s;ok" in stmts[2]
+    assert stmts[3].startswith("DROP TABLE t4")
+
+
 def test_multi_apply_job_stream_mode_with_ddl_dir(job_fixtures, tmp_path):
     """--mode stream attaches via StreamingMultiTableCDC (availableNow
     drain) and --ddl-dir opens the mid-stream DDL channel: a pre-seeded

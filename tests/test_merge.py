@@ -82,6 +82,43 @@ def test_merge_partial_images_after_set(spark, tmp_table):
     assert got == {"a": ("v1", "py"), "b": ("w1", "go")}
 
 
+def test_gen_partial_updates_fixture_not_vacuous(spark):
+    """The partial_image_merge oracle (VERDICT r4 #2) is only as strong
+    as its fixture: keep every interesting case populated — full images,
+    op 'c' re-creates, fields explicitly set to NULL, fields left unset,
+    and keys chained across epochs."""
+    from debezium_incubator_spark.sources.generator import gen_partial_updates
+
+    _, events = gen_partial_updates(spark, n_keys=200, n_epochs=3)
+    ev = events.persist()
+    try:
+        assert ev.filter(F.col("after_set").isNull()).count() > 0
+        assert ev.filter(F.col("op") == "c").count() > 0
+        assert (
+            ev.filter(
+                F.col("after_set").isNotNull()
+                & F.array_contains("after_set", "lang")
+                & F.col("lang").isNull()
+            ).count()
+            > 0
+        )
+        assert (
+            ev.filter(
+                F.col("after_set").isNotNull()
+                & ~F.array_contains("after_set", "lang")
+            ).count()
+            > 0
+        )
+        chained = ev.groupBy("repo", "path").count().filter(F.col("count") >= 2)
+        assert chained.count() > 50
+        # ≤1 event per key per epoch — the chained-epoch SQL oracle
+        # relies on it (the engine only folds the epoch WINNER)
+        per_epoch = ev.groupBy("repo", "path", F.floor(F.col("offset") / 10_000)).count()
+        assert per_epoch.agg(F.max("count")).first()[0] == 1
+    finally:
+        ev.unpersist()
+
+
 def test_merge_lww_strategies_equivalent(spark, tmp_table):
     rows = [("r", f"p{i}", f"v{i}", "py") for i in range(10)]
     batches = []

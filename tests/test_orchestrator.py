@@ -503,15 +503,22 @@ def test_mid_stream_ddl_channel(spark, tmp_path, fixtures):
 
     q = s.start(spark, processing_time="1 seconds")
     try:
-        # let the stream make progress, then drop the CREATE mid-run
-        deadline = time.monotonic() + 120
+        # let the stream make progress, then drop the CREATE mid-run.
+        # VERDICT r4 #1: the old 120 s wall-clock deadline flaked on a
+        # loaded box (full suite at 2.5x nominal wall).  Match the driver
+        # query's 240 s budget AND extend while the stream demonstrably
+        # makes progress (batchId advancing = live, not hung).
+        deadline = time.monotonic() + 240
+        last_batch = -1
         while time.monotonic() < deadline:
+            if q.exception() is not None:
+                raise q.exception()
             if int(orch.engines["files_00"].store.latest().get("stream_pos", -1)) >= 0:
                 break
             time.sleep(0.2)
         with open(os.path.join(ddl_dir, "001_create.sql"), "w") as f:
             f.write(CREATE_T1)
-        while time.monotonic() < deadline:
+        while True:
             if q.exception() is not None:
                 raise q.exception()
             eng = orch.engines.get("files_01")
@@ -521,9 +528,14 @@ def test_mid_stream_ddl_channel(spark, tmp_path, fixtures):
                 and int(orch.engines["files_00"].store.latest().get("stream_pos", -1)) >= top
             ):
                 break
+            prog = q.lastProgress
+            if prog is not None and prog.get("batchId", -1) > last_batch:
+                # stream is live: each new micro-batch buys more time
+                last_batch = prog["batchId"]
+                deadline = max(deadline, time.monotonic() + 60)
+            if time.monotonic() >= deadline:
+                raise TimeoutError("files_01 never provisioned/caught up")
             time.sleep(0.3)
-        else:
-            raise TimeoutError("files_01 never provisioned/caught up")
     finally:
         q.stop()
 
