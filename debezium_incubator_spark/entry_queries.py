@@ -1259,6 +1259,77 @@ ORACLES["ddl_channel_replay"] = f"""
     FROM ranked WHERE rn = 1 AND op NOT IN ('d', 't')
 """
 
+EVOLUTION_ORACLE_DIR = f"/tmp/cdc_evolution_oracle_{_os.getuid()}"
+
+
+def q_evolution_replay(spark, sf):
+    """VERDICT r4 #3 (hard part c): rename-across-replay under a
+    cross-engine oracle. The engine applies two epochs, an ALTER RENAME
+    (lang → language) lands mid-stream, the rest of the changelog
+    applies, and then the checkpoint is REWOUND to the pre-rename epoch
+    and a fresh engine re-runs the whole changelog: post-rename epochs
+    re-arrive carrying the OLD field name and must route through the
+    rename mapping (field-id schema history ≙ the reference's schema
+    replay contract, OracleConnectorTask.java:70-76), with the replay
+    guard absorbing re-delivered offsets. The oracle is rename-agnostic:
+    plain LWW over snapshot ∪ changelog with lang aliased to language —
+    the replayed engine must converge to exactly that."""
+    import tempfile
+
+    from debezium_incubator_spark.plans.pipeline import CDCEngine
+    from debezium_incubator_spark.sources.changelog import ParquetChangelog
+    from debezium_incubator_spark.sources.generator import gen_changelog, gen_source_table
+
+    base = EVOLUTION_ORACLE_DIR
+    gen_source_table(spark, n_keys=300, n_repos=10).write.mode("overwrite").parquet(
+        f"{base}/source"
+    )
+    gen_changelog(spark, n_keys=300, n_repos=10, n_slots=1200).write.mode(
+        "overwrite"
+    ).parquet(f"{base}/changelog")
+    work = tempfile.mkdtemp(prefix="cdc_evo_")
+    eng = CDCEngine(spark, f"{work}/table", f"{work}/ckpt", num_buckets=8)
+    eng.create_target()
+    eng.bootstrap(spark.read.parquet(f"{base}/source"))
+    log = ParquetChangelog(f"{base}/changelog")
+    eng.run(log, offsets_per_epoch=1000, max_epochs=2)
+    pre_rename_epoch = eng.store.latest()["epoch"]
+    eng.rename_column("lang", "language")
+    eng.run(log, offsets_per_epoch=1000)
+
+    # rewind and replay EVERYTHING through a fresh engine: epochs below
+    # the marks are absorbed, the tail re-applies through the rename
+    eng.store.rewind_to(pre_rename_epoch)
+    eng2 = CDCEngine(spark, f"{work}/table", f"{work}/ckpt", num_buckets=8)
+    eng2.run(log, offsets_per_epoch=1000)
+    return eng2.final_state().select(
+        "repo", "path", "commit", "language", "content_sha256"
+    )
+
+
+QUERIES["evolution_replay"] = q_evolution_replay
+
+# Rename-agnostic recomputation: the changelog always carries the OLD
+# name (lang); the final schema carries the new one — alias in SQL.
+ORACLES["evolution_replay"] = f"""
+    WITH snap AS (
+      SELECT CAST(-1 AS BIGINT) AS o, 'r' AS op, repo, path,
+             "commit", lang, content
+      FROM read_parquet('{EVOLUTION_ORACLE_DIR}/source/*.parquet')),
+    ev AS (
+      SELECT "offset" AS o, op, repo, path,
+             after."commit" AS "commit", after.lang AS lang,
+             after.content AS content
+      FROM read_parquet('{EVOLUTION_ORACLE_DIR}/changelog/*.parquet')),
+    allv AS (SELECT * FROM snap UNION ALL SELECT * FROM ev),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY o DESC) rn
+      FROM allv)
+    SELECT repo, path, "commit", lang AS language,
+           lower(sha256(content)) AS content_sha256
+    FROM ranked WHERE rn = 1 AND op NOT IN ('d', 't')
+"""
+
 PARTIAL_IMAGE_ORACLE_DIR = f"/tmp/cdc_partialimg_oracle_{_os.getuid()}"
 
 

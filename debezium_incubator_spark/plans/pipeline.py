@@ -131,6 +131,30 @@ class CDCEngine:
         fields = [f["name"] for f in self.table.current_fields()]
         return [c for c in fields if c not in self.key_cols and c != "content_sha256"]
 
+    def _rename_history(self) -> dict[str, list[str]]:
+        """{current field name: [its older names, newest first]} derived
+        from the manifest's full schema history by FIELD ID. This is the
+        durable schema-history store (≙ the reference's schema-history
+        topic, OracleConnectorTask.java:70-76): the rename mapping must
+        survive any checkpoint lineage — a replay resumed from a
+        checkpoint written before the rename, or one rebuilt by
+        ``_reconcile`` from commit summaries (which never carry renames),
+        still routes pre-rename envelope fields onto the current schema.
+        """
+        m = self.table.manifest()
+        names_by_id: dict[int, list[str]] = {}
+        for sid in sorted(m["schemas"], key=int):
+            for f in m["schemas"][sid]:
+                seq = names_by_id.setdefault(f["id"], [])
+                if not seq or seq[-1] != f["name"]:
+                    seq.append(f["name"])
+        out: dict[str, list[str]] = {}
+        for f in self.table.current_fields(m):
+            hist = [n for n in names_by_id.get(f["id"], []) if n != f["name"]]
+            if hist:
+                out[f["name"]] = list(reversed(hist))
+        return out
+
     def _unwrap(self, events: DataFrame, renames: list[dict]) -> DataFrame:
         """T3/T4/T10/T11 — envelope → apply-ready flat rows, mapping
         pre-rename envelope field names onto the current schema (hard
@@ -140,6 +164,7 @@ class CDCEngine:
         old_names = {}
         for r in renames:
             old_names[r["new"]] = r["old"]
+        history = self._rename_history()
         cols = [F.col("offset"), F.col("op"), F.col("ts_ms")]
         cols += [F.col(k) for k in self.key_cols]
         if BUCKET_COL in events.columns:
@@ -147,10 +172,17 @@ class CDCEngine:
             cols.append(F.col(BUCKET_COL))
         payload = self._payload_names()
         for name in payload:
+            # candidate source names, newest first: the current name, the
+            # checkpoint-carried rename chain (fast path / same-epoch
+            # visibility), then the manifest-derived field-id history
+            candidates = [name]
             src = name
-            while src not in after_fields and src in old_names:
+            while src in old_names:
                 src = old_names[src]
-            if src in after_fields:
+                candidates.append(src)
+            candidates += [n for n in history.get(name, []) if n not in candidates]
+            src = next((c for c in candidates if c in after_fields), None)
+            if src is not None:
                 cols.append(F.col(f"after.{src}").alias(name))
             else:
                 # column added by DDL after this envelope was written:

@@ -72,6 +72,28 @@ def test_rename_column_and_replay_across_rename(spark, tmp_path):
     assert row2["language"] == "py"
 
 
+def test_rename_mapping_survives_checkpoint_without_renames(spark, tmp_path):
+    """VERDICT r4 #3 / hard part (c) proper: the rename mapping must NOT
+    depend on checkpoint state. A checkpoint lineage that never carried
+    ``renames`` — one rebuilt by _reconcile from commit summaries, or
+    written before the rename — still routes after.lang → language via
+    the manifest's field-id schema history (the durable schema-history
+    store, ≙ OracleConnectorTask.java:70-76)."""
+    eng = _bootstrapped(spark, tmp_path)
+    eng.rename_column("lang", "language")
+    # simulate the renames-less lineage: strip the list from the ckpt
+    ck = eng.store.latest()
+    ck.pop("renames", None)
+    eng.store.save(ck)
+
+    eng2 = CDCEngine(spark, str(tmp_path / "t"), str(tmp_path / "c"), num_buckets=4)
+    ev = mk_events(spark, [{"offset": 1, "op": "u", "repo": "r", "path": "a",
+                            "after": IMG("v1\n")}])
+    eng2.apply_epoch(ev, stream_pos=1)
+    row = eng2.final_state().first()
+    assert row["language"] == "py" and row["content"] == "v1\n"
+
+
 def test_unmapped_new_column_defaults_null(spark, tmp_path):
     """An added column with no envelope counterpart stays null instead of
     failing the apply (≙ ALTER handled, data backfilled lazily)."""
