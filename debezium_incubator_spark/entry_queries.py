@@ -1403,3 +1403,71 @@ ORACLES["partial_image_merge"] = f"""
     LEFT JOIN last_lang l ON i.repo = l.repo AND i.path = l.path
     LEFT JOIN last_content t ON i.repo = t.repo AND i.path = t.path
 """
+
+
+def q_temporal_converters(spark, sf):
+    """VERDICT r4 #7 — temporal VALUE converters under a cross-engine
+    oracle: ZonedTimestamp ISO-8601 emission
+    (OracleValueConverters.java:388-390, fixed-offset zones so DuckDB
+    can re-derive the offset arithmetic) plus the INTERVAL YEAR TO
+    MONTH / DAY TO SECOND micro-duration conversions (:392-441),
+    driven over the events table."""
+    from debezium_incubator_spark.functions.types import (
+        interval_dts_to_micros,
+        interval_ytm_to_micros,
+        zoned_timestamp_to_iso,
+    )
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    ts = F.col("ts").cast("timestamp")
+    zone = F.element_at(
+        F.array(F.lit("UTC"), F.lit("+05:30"), F.lit("-08:00"), F.lit("+02:00")),
+        (F.pmod(F.col("user_id"), F.lit(4)) + 1).cast("int"),
+    )
+    return ev.select(
+        "event_id",
+        zoned_timestamp_to_iso(ts, zone).alias("ts_iso"),
+        interval_ytm_to_micros(
+            F.pmod(F.col("user_id"), F.lit(5)), F.pmod(F.col("event_id"), F.lit(12))
+        ).alias("ytm_us"),
+        interval_dts_to_micros(
+            F.pmod(F.col("event_id"), F.lit(30)),
+            F.pmod(F.col("user_id"), F.lit(24)),
+            F.pmod(F.col("event_id"), F.lit(60)),
+            F.pmod(F.col("user_id"), F.lit(60)),
+            F.pmod(F.col("event_id"), F.lit(1000)),
+        ).alias("dts_us"),
+    )
+
+
+QUERIES["temporal_converters"] = q_temporal_converters
+
+# ISO_OFFSET_DATE_TIME re-derived in SQL: wall time = ts + offset
+# minutes; fraction printed in groups of 3 only when non-zero; 'Z' for
+# zero offset. Interval conversions are the same closed-form arithmetic
+# (year=12 months, month=30 days — the reference's fixed conventions).
+ORACLES["temporal_converters"] = """
+    WITH z AS (
+      SELECT event_id, ts, user_id,
+             epoch_us(ts) % 1000000 AS us,
+             CASE (user_id % 4)::INT
+               WHEN 0 THEN 0 WHEN 1 THEN 330 WHEN 2 THEN -480 ELSE 120
+             END AS offm
+      FROM events)
+    SELECT event_id,
+           strftime(ts + to_minutes(offm), '%Y-%m-%dT%H:%M:%S')
+           || CASE WHEN us = 0 THEN ''
+                   WHEN us % 1000 = 0 THEN printf('.%03d', us // 1000)
+                   ELSE printf('.%06d', us) END
+           || CASE WHEN offm = 0 THEN 'Z'
+                   ELSE printf('%s%02d:%02d',
+                               CASE WHEN offm < 0 THEN '-' ELSE '+' END,
+                               abs(offm) // 60, abs(offm) % 60) END
+             AS ts_iso,
+           ((user_id % 5) * 12 + (event_id % 12)) * 30 * 24 * 3600 * 1000000
+             AS ytm_us,
+           ((((event_id % 30) * 24 + (user_id % 24)) * 60 + (event_id % 60)) * 60
+             + (user_id % 60)) * 1000000 + (event_id % 1000)
+             AS dts_us
+    FROM z
+"""

@@ -224,6 +224,45 @@ def epoch_millis_to_timestamp(ms: Column) -> Column:
     return F.timestamp_millis(ms)
 
 
+def zoned_timestamp_to_iso(ts: Column, zone: Column | str) -> Column:
+    """TIMESTAMP WITH (LOCAL) TIME ZONE → ISO-8601 offset string
+    (OracleValueConverters.java:388-390: ZonedTimestamp emits
+    ISO_OFFSET_DATE_TIME). ``ts`` is the instant (UTC); ``zone`` is the
+    zone the value was written in (named id or fixed offset). Matches
+    java.time's formatter: fractional seconds in groups of 3 only when
+    non-zero, offset ``Z`` for zero, ``±HH:MM[:SS]`` otherwise (seconds
+    only for pre-standardization LMT offsets).
+
+    Pure Column ops — the zone offset at the instant is recovered as the
+    internal-micros shift ``from_utc_timestamp`` applies, so named zones
+    with DST resolve correctly without a UDF."""
+    z = F.lit(zone) if isinstance(zone, str) else zone
+    wall = F.from_utc_timestamp(ts, z)
+    us = F.unix_micros(ts)
+    off_s = F.floor((F.unix_micros(wall) - us) / F.lit(1_000_000)).cast("long")
+    a = F.abs(off_s)
+    oh = F.floor(a / 3600).cast("int")
+    om = F.floor(F.pmod(a, 3600) / 60).cast("int")
+    osec = F.pmod(a, 60).cast("int")
+    offset = F.when(off_s == 0, F.lit("Z")).otherwise(
+        F.concat(
+            F.when(off_s < 0, F.lit("-")).otherwise(F.lit("+")),
+            F.format_string("%02d:%02d", oh, om),
+            F.when(osec != 0, F.format_string(":%02d", osec)).otherwise(F.lit("")),
+        )
+    )
+    frac_us = F.pmod(us, F.lit(1_000_000)).cast("long")
+    frac = (
+        F.when(frac_us == 0, F.lit(""))
+        .when(
+            F.pmod(frac_us, 1000) == 0,
+            F.format_string(".%03d", F.floor(frac_us / 1000).cast("int")),
+        )
+        .otherwise(F.format_string(".%06d", frac_us.cast("int")))
+    )
+    return F.concat(F.date_format(wall, "yyyy-MM-dd'T'HH:mm:ss"), frac, offset)
+
+
 def interval_ytm_to_micros(years: Column, months: Column) -> Column:
     """INTERVAL YEAR TO MONTH → micro-duration using the reference's
     fixed-length month convention (NumberConversions.DOUBLE semantics,

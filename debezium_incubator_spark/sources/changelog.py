@@ -21,16 +21,23 @@ from pyspark.sql import functions as F
 
 
 class ParquetChangelog:
-    def __init__(self, path: str, schema=None):
+    def __init__(self, path: str, schema=None, extra_paths: list[str] | None = None):
+        """``extra_paths``: additional parquet directories read as part
+        of the same log (e.g. ``_archive/`` during an out-of-band
+        catch-up that needs GC-archived history — K4 heal path,
+        ≙ the pluggable CommitLogTransfer restoring archived segments,
+        CommitLogPostProcessor.java:38-55). Offsets stay the total
+        order; WHERE a row lives is irrelevant to range()."""
         self.path = path
         self.schema = schema
+        self.extra_paths = [p for p in (extra_paths or []) if p]
         self._max_offset: int | None = None
 
     def read(self, spark: SparkSession) -> DataFrame:
         r = spark.read
         if self.schema is not None:
             r = r.schema(self.schema)
-        return r.parquet(self.path)
+        return r.parquet(self.path, *self.extra_paths)
 
     def max_offset(self, spark: SparkSession, refresh: bool = False) -> int:
         """Top offset of the log, from parquet FOOTER statistics (a
@@ -54,13 +61,17 @@ class ParquetChangelog:
 
         top = None
         try:
-            names = [
-                fn for fn in os.listdir(self.path) if fn.endswith(".parquet")
-            ]
-            if not names:
+            files = []
+            for d in (self.path, *self.extra_paths):
+                files += [
+                    os.path.join(d, fn)
+                    for fn in os.listdir(d)
+                    if fn.endswith(".parquet")
+                ]
+            if not files:
                 return None
-            for fn in names:
-                m = file_footer_offset_max(os.path.join(self.path, fn))
+            for p in files:
+                m = file_footer_offset_max(p)
                 if m is None:
                     return None  # stats absent → Spark aggregate fallback
                 top = m if top is None else max(top, m)
@@ -97,6 +108,27 @@ class DataFrameChangelog:
         return self.df.filter(
             (F.col("offset") > F.lit(start_exclusive)) & (F.col("offset") <= F.lit(end_inclusive))
         )
+
+
+def file_footer_offset_min(path: str):
+    """Min ``offset`` across one parquet file's row-group footer stats;
+    ``None`` when stats are absent. Same contract as the max twin below
+    (raises on unreadable footers) — used by gc.restore_archived to
+    decide which archived segments a bounded catch-up needs."""
+    import pyarrow.parquet as pq
+
+    meta = pq.ParquetFile(path).metadata
+    lo = None
+    for rg in range(meta.num_row_groups):
+        rgm = meta.row_group(rg)
+        for ci in range(rgm.num_columns):
+            col = rgm.column(ci)
+            if col.path_in_schema == "offset":
+                if col.statistics is None or not col.statistics.has_min_max:
+                    return None
+                m = int(col.statistics.min)
+                lo = m if lo is None else min(lo, m)
+    return lo
 
 
 def file_footer_offset_max(path: str):

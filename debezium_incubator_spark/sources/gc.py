@@ -133,3 +133,64 @@ def expire_changelog_files(
     except OSError:
         pass  # state is an optimization; next pass restarts the clock
     return moved
+
+
+def restore_archived(
+    changelog_dir: str, through_offset: int | None = None
+) -> list[str]:
+    """K4 heal (VERDICT r4 #5, ≙ a pluggable CommitLogTransfer restoring
+    archived segments, CommitLogPostProcessor.java:38-55): move back
+    from ``_archive/`` every segment a bounded catch-up needs — any file
+    whose footer MIN offset is ≤ ``through_offset`` (None = restore
+    everything). Restored files are re-eligible for the NEXT GC pass the
+    moment every table's marks cover them again, so the heal is
+    transient by construction.
+
+    Safe against a live streaming source on the same directory: a
+    restored file keeps its original name/path, which the file source's
+    seen-files log already contains — it is not redelivered; only
+    directory (batch) reads see it.
+
+    When the archive is drained, ``archived_through`` resets to -1 so
+    catch-up paths stop warning; a partial restore keeps the mark
+    (history above ``through_offset`` may still be missing — stay loud).
+    Returns the restored file names."""
+    import json
+
+    from debezium_incubator_spark.sources.changelog import file_footer_offset_min
+
+    archive = os.path.join(changelog_dir, "_archive")
+    if not os.path.isdir(archive):
+        return []
+    restored = []
+    for fn in sorted(os.listdir(archive)):
+        if not fn.endswith(".parquet"):
+            continue
+        src = os.path.join(archive, fn)
+        if through_offset is not None:
+            try:
+                lo = file_footer_offset_min(src)
+            except Exception:
+                continue  # unreadable archived segment: leave it
+            if lo is None or lo > through_offset:
+                continue
+        shutil.move(src, os.path.join(changelog_dir, fn))
+        restored.append(fn)
+    if restored and not any(
+        fn.endswith(".parquet") for fn in os.listdir(archive)
+    ):
+        state_path = os.path.join(changelog_dir, "_gc_state.json")
+        try:
+            with open(state_path) as f:
+                state = json.load(f)
+        except Exception:
+            state = {}
+        state["archived_through"] = -1
+        try:
+            tmp = f"{state_path}.tmp.{os.getpid()}"
+            with open(tmp, "w") as f:
+                json.dump(state, f)
+            os.replace(tmp, state_path)
+        except OSError:
+            pass
+    return restored

@@ -110,6 +110,29 @@ def test_interval_conversions(spark):
     assert dts == ((((1 * 24 + 2) * 60 + 3) * 60) + 4) * 1_000_000 + 5
 
 
+def test_zoned_timestamp_to_iso(spark):
+    """VERDICT r4 #7 — ZonedTimestamp value conversion
+    (OracleValueConverters.java:388-390): ISO_OFFSET_DATE_TIME strings,
+    matching java.time — fraction in groups of 3 only when non-zero,
+    'Z' for zero offset, DST-aware named zones."""
+    cases = [
+        # (utc instant, zone, expected ISO string)
+        ("2019-02-06 10:54:18.654321", "UTC", "2019-02-06T10:54:18.654321Z"),
+        ("2019-02-06 10:54:18.654000", "+05:30", "2019-02-06T16:24:18.654+05:30"),
+        ("2019-02-06 10:54:18", "-08:00", "2019-02-06T02:54:18-08:00"),
+        # DST: New York is -05:00 in winter, -04:00 in summer
+        ("2019-01-15 12:00:00", "America/New_York", "2019-01-15T07:00:00-05:00"),
+        ("2019-07-15 12:00:00.123456", "America/New_York", "2019-07-15T08:00:00.123456-04:00"),
+    ]
+    df = spark.createDataFrame([(s, z, e) for s, z, e in cases], "s string, z string, e string")
+    rows = df.select(
+        tp.zoned_timestamp_to_iso(F.to_timestamp("s"), F.col("z")).alias("iso"),
+        "e",
+    ).collect()
+    for r in rows:
+        assert r["iso"] == r["e"], r
+
+
 def test_uuid_canonical(spark):
     raw = bytes(range(16))
     df = spark.createDataFrame([(raw,)], "b binary")
