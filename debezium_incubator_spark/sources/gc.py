@@ -135,6 +135,47 @@ def expire_changelog_files(
     return moved
 
 
+def reprocess_errors(changelog_dir: str) -> list[str]:
+    """Companion heal for the ``_error/`` quarantine: after an operator
+    repairs (or replaces) segments that GC moved aside as corrupt, move
+    every now-READABLE segment back into the live directory and clear
+    its first-seen record; still-unreadable files stay quarantined.
+    ≙ re-submitting failed commit logs to the connector
+    (QueueProcessor.java:98-102 error path, reversed)."""
+    import json
+
+    from debezium_incubator_spark.sources.changelog import file_footer_offset_max
+
+    error_dir = os.path.join(changelog_dir, "_error")
+    if not os.path.isdir(error_dir):
+        return []
+    restored = []
+    for fn in sorted(os.listdir(error_dir)):
+        if not fn.endswith(".parquet"):
+            continue
+        src = os.path.join(error_dir, fn)
+        try:
+            file_footer_offset_max(src)  # readability probe
+        except Exception:
+            continue  # still corrupt: leave it quarantined
+        shutil.move(src, os.path.join(changelog_dir, fn))
+        restored.append(fn)
+    if restored:
+        state_path = os.path.join(changelog_dir, "_gc_state.json")
+        try:
+            with open(state_path) as f:
+                state = json.load(f)
+            for fn in restored:
+                state.get("unreadable", {}).pop(fn, None)
+            tmp = f"{state_path}.tmp.{os.getpid()}"
+            with open(tmp, "w") as f:
+                json.dump(state, f)
+            os.replace(tmp, state_path)
+        except (OSError, ValueError):
+            pass
+    return restored
+
+
 def restore_archived(
     changelog_dir: str, through_offset: int | None = None
 ) -> list[str]:

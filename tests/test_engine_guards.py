@@ -203,6 +203,21 @@ def test_corrupt_changelog_segment_goes_to_error_dir(spark, tmp_path):
     assert (d / "_error" / "stalled.parquet").exists()
     assert (d / "_archive" / "seg0.parquet").exists()
 
+    # reprocess_errors: an operator REPAIRS corrupt.parquet in place —
+    # only now-readable segments return; still-corrupt ones stay put
+    from debezium_incubator_spark.sources.gc import reprocess_errors
+
+    spark.range(3).select(F.col("id").alias("offset")).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(d / "fix"))
+    fixed = next(p for p in (d / "fix").iterdir() if p.name.endswith(".parquet"))
+    shutil.move(str(fixed), str(d / "_error" / "corrupt.parquet"))
+    shutil.rmtree(str(d / "fix"))
+    back = reprocess_errors(str(d))
+    assert back == ["corrupt.parquet"]
+    assert (d / "corrupt.parquet").exists()
+    assert (d / "_error" / "stalled.parquet").exists()  # still unreadable
+
 
 def test_per_table_field_blacklist(spark):
     """FieldFilterSelector.java:28-50: keyspace.table.field-scoped
