@@ -706,28 +706,37 @@ class StreamingMultiTableCDC(StreamingCDC):
         untouched and nothing is redelivered (≙ a CommitLogTransfer
         that can hand segments back, CommitLogPostProcessor.java:38-55;
         ``gc.restore_archived`` is the operator-facing move-back form).
-        Only a DELETE-mode GC (archive empty but the mark set) still
-        warns: that history is genuinely unrecoverable."""
+        Only genuinely-unrecoverable history still warns: a DELETE-mode
+        GC pass recorded ``deleted_through`` (review r5 #4 — an archive
+        directory with files does NOT prove the whole owed span is
+        there: an earlier delete-mode pass may have unlinked the head),
+        or the archive mark is set but the directory is empty (operator
+        pruned it)."""
         try:
             with open(os.path.join(self.changelog_dir, "_gc_state.json")) as f:
-                at = int(json.load(f).get("archived_through", -1))
+                state = json.load(f)
+            at = int(state.get("archived_through", -1))
+            dt = int(state.get("deleted_through", -1))
         except (FileNotFoundError, ValueError):
-            return []
-        if at < 0:
             return []
         archive = os.path.join(self.changelog_dir, "_archive")
         try:
             has_files = any(fn.endswith(".parquet") for fn in os.listdir(archive))
         except FileNotFoundError:
             has_files = False
-        if has_files:
-            return [archive]
-        warnings.warn(
-            f"out-of-band catch-up: changelog offsets ≤ {at} were removed by GC "
-            f"and _archive/ holds no segments — healed tables may be missing "
-            f"that history (use gc mode='archive' to keep catch-ups healable)"
-        )
-        return []
+        if dt >= 0:
+            warnings.warn(
+                f"out-of-band catch-up: changelog offsets ≤ {dt} were removed by "
+                f"delete-mode GC — healed tables may be missing that history "
+                f"(use gc mode='archive' to keep catch-ups healable)"
+            )
+        elif at >= 0 and not has_files:
+            warnings.warn(
+                f"out-of-band catch-up: changelog offsets ≤ {at} were archived by "
+                f"GC but _archive/ holds no segments — healed tables may be "
+                f"missing that history"
+            )
+        return [archive] if has_files else []
 
     def _catch_up_pending(self, pending: set[str]) -> None:
         """EXPLICIT pending — tables a DDL file created mid-stream:

@@ -174,10 +174,14 @@ class CDCEngine:
         for name in payload:
             # candidate source names, newest first: the current name, the
             # checkpoint-carried rename chain (fast path / same-epoch
-            # visibility), then the manifest-derived field-id history
+            # visibility), then the manifest-derived field-id history.
+            # The chain walk is cycle-bounded: a rename REVERT
+            # (lang→language, later language→lang) makes old_names
+            # circular — the old code broke out via the after_fields
+            # check; this one must track visited names or spin forever
             candidates = [name]
             src = name
-            while src in old_names:
+            while src in old_names and old_names[src] not in candidates:
                 src = old_names[src]
                 candidates.append(src)
             candidates += [n for n in history.get(name, []) if n not in candidates]

@@ -110,15 +110,18 @@ class DataFrameChangelog:
         )
 
 
-def file_footer_offset_min(path: str):
-    """Min ``offset`` across one parquet file's row-group footer stats;
-    ``None`` when stats are absent. Same contract as the max twin below
-    (raises on unreadable footers) — used by gc.restore_archived to
-    decide which archived segments a bounded catch-up needs."""
+def _footer_offset_stat(path: str, which: str):
+    """Min/max ``offset`` across one parquet file's row-group footer
+    stats; ``None`` when any row group lacks min/max statistics for the
+    column. Raises whatever pyarrow raises on an unreadable/corrupt
+    footer — callers decide between fallback (ParquetChangelog) and
+    quarantine (gc.expire_changelog_files). One parameterized walk so
+    the min/max forms cannot drift."""
     import pyarrow.parquet as pq
 
     meta = pq.ParquetFile(path).metadata
-    lo = None
+    fold = min if which == "min" else max
+    out = None
     for rg in range(meta.num_row_groups):
         rgm = meta.row_group(rg)
         for ci in range(rgm.num_columns):
@@ -126,29 +129,18 @@ def file_footer_offset_min(path: str):
             if col.path_in_schema == "offset":
                 if col.statistics is None or not col.statistics.has_min_max:
                     return None
-                m = int(col.statistics.min)
-                lo = m if lo is None else min(lo, m)
-    return lo
+                v = int(getattr(col.statistics, which))
+                out = v if out is None else fold(out, v)
+    return out
+
+
+def file_footer_offset_min(path: str):
+    """Used by gc.restore_archived to decide which archived segments a
+    bounded catch-up needs."""
+    return _footer_offset_stat(path, "min")
 
 
 def file_footer_offset_max(path: str):
-    """Max ``offset`` across one parquet file's row-group footer stats;
-    ``None`` when any row group lacks min/max statistics for the column.
-    Raises whatever pyarrow raises on an unreadable/corrupt footer —
-    callers decide between fallback (ParquetChangelog) and quarantine
-    (gc.expire_changelog_files). Shared so the two footer walks cannot
-    drift."""
-    import pyarrow.parquet as pq
-
-    meta = pq.ParquetFile(path).metadata
-    top = None
-    for rg in range(meta.num_row_groups):
-        rgm = meta.row_group(rg)
-        for ci in range(rgm.num_columns):
-            col = rgm.column(ci)
-            if col.path_in_schema == "offset":
-                if col.statistics is None or not col.statistics.has_min_max:
-                    return None
-                m = int(col.statistics.max)
-                top = m if top is None else max(top, m)
-    return top
+    """Shared by the changelog top-offset walk and gc's GC-eligibility
+    probe."""
+    return _footer_offset_stat(path, "max")

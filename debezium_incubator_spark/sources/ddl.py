@@ -280,13 +280,25 @@ def split_ddl_script(text: str) -> list[str]:
     r4): a DEFAULT 'a;b' or a literal whose next line begins with
     CREATE must not split mid-statement — the warn-and-skip apply path
     would then silently drop both halves. Oracle escapes a quote inside
-    a literal by doubling it ('') — that keeps the quote state."""
+    a literal by doubling it ('') — that keeps the quote state. A
+    ``--`` line comment (outside a literal) is skipped without quote
+    tracking: an apostrophe in prose ("-- don't touch") must not flip
+    the quote state and glue every following statement into one
+    unparseable blob (review r5 #5)."""
     stmts: list[str] = []
     buf: list[str] = []
     in_quote = False
     i, n = 0, len(text)
     while i < n:
         ch = text[i]
+        if not in_quote and ch == "-" and text[i : i + 2] == "--":
+            # drop the comment (through end of line): quotes inside it
+            # are prose, not literal delimiters, and keeping it would
+            # surface comment text as a bogus statement at the next
+            # newline-keyword split
+            j = text.find("\n", i)
+            i = n if j < 0 else j
+            continue
         if ch == "'":
             if in_quote and i + 1 < n and text[i + 1] == "'":
                 buf.append("''")

@@ -57,9 +57,11 @@ def expire_changelog_files(
             _state = json.load(f)
         first_seen: dict[str, float] = _state.get("unreadable", {})
         archived_through = int(_state.get("archived_through", -1))
+        deleted_through = int(_state.get("deleted_through", -1))
     except Exception:
         first_seen = {}
         archived_through = -1
+        deleted_through = -1
     seen_this_pass: dict[str, float] = {}
     moved = []
 
@@ -116,18 +118,29 @@ def expire_changelog_files(
             counters["archived"] += 1
             moved.append(fn)
     if moved:
-        # history ≤ low_water is no longer guaranteed on disk — a later
-        # out-of-band catch-up (a table attached after this GC) cannot
-        # replay it from here; the monotone mark lets that path warn
-        # loudly instead of silently producing an incomplete table
-        archived_through = max(archived_through, low_water)
+        # history ≤ low_water is no longer guaranteed in the LIVE
+        # directory — a later out-of-band catch-up (a table attached
+        # after this GC) cannot replay it from here. Separate monotone
+        # marks per mode (review r5 #4): archived history is servable
+        # from _archive/ in place; DELETED history is gone forever and
+        # must keep catch-up paths warning even when a later
+        # archive-mode pass leaves files in _archive/.
+        if mode == "archive":
+            archived_through = max(archived_through, low_water)
+        else:
+            deleted_through = max(deleted_through, low_water)
     # persist first-seen state (files that became readable or were moved
     # drop out automatically: only this pass's sightings are kept)
     try:
         tmp = f"{state_path}.tmp.{os.getpid()}"
         with open(tmp, "w") as f:
             json.dump(
-                {"unreadable": seen_this_pass, "archived_through": archived_through}, f
+                {
+                    "unreadable": seen_this_pass,
+                    "archived_through": archived_through,
+                    "deleted_through": deleted_through,
+                },
+                f,
             )
         os.replace(tmp, state_path)
     except OSError:
@@ -138,10 +151,22 @@ def expire_changelog_files(
 def reprocess_errors(changelog_dir: str) -> list[str]:
     """Companion heal for the ``_error/`` quarantine: after an operator
     repairs (or replaces) segments that GC moved aside as corrupt, move
-    every now-READABLE segment back into the live directory and clear
-    its first-seen record; still-unreadable files stay quarantined.
+    every now-READABLE segment into ``_archive/`` and clear its
+    first-seen record; still-unreadable files stay quarantined.
     ≙ re-submitting failed commit logs to the connector
-    (QueueProcessor.java:98-102 error path, reversed)."""
+    (QueueProcessor.java:98-102 error path, reversed).
+
+    Into ``_archive/``, NOT the live directory (review r5 #3): by the
+    time an operator repairs a segment the stream has moved past its
+    offsets — re-listing it live would either have the replay guard
+    silently drop its rows (below the marks) or wedge the stream with
+    OutOfOrderDeliveryError when batched with newer files. In
+    ``_archive/`` the repaired history is invisible to the live source
+    but served by the out-of-band catch-up view (orchestrator
+    ``_archive_extra_paths``), so the recovery story is the engine's
+    standard one: rebuild the affected table (DROP+CREATE or fresh
+    attach) and the full history — including the repaired span —
+    replays exactly once."""
     import json
 
     from debezium_incubator_spark.sources.changelog import file_footer_offset_max
@@ -149,6 +174,7 @@ def reprocess_errors(changelog_dir: str) -> list[str]:
     error_dir = os.path.join(changelog_dir, "_error")
     if not os.path.isdir(error_dir):
         return []
+    archive = os.path.join(changelog_dir, "_archive")
     restored = []
     for fn in sorted(os.listdir(error_dir)):
         if not fn.endswith(".parquet"):
@@ -158,7 +184,8 @@ def reprocess_errors(changelog_dir: str) -> list[str]:
             file_footer_offset_max(src)  # readability probe
         except Exception:
             continue  # still corrupt: leave it quarantined
-        shutil.move(src, os.path.join(changelog_dir, fn))
+        os.makedirs(archive, exist_ok=True)
+        shutil.move(src, os.path.join(archive, fn))
         restored.append(fn)
     if restored:
         state_path = os.path.join(changelog_dir, "_gc_state.json")
@@ -208,13 +235,16 @@ def restore_archived(
         if not fn.endswith(".parquet"):
             continue
         src = os.path.join(archive, fn)
-        if through_offset is not None:
-            try:
-                lo = file_footer_offset_min(src)
-            except Exception:
-                continue  # unreadable archived segment: leave it
-            if lo is None or lo > through_offset:
-                continue
+        # readability probe on EVERY path (review r5 #6): a rotted
+        # archived segment moved into the live directory would break
+        # every directory read and take two GC sightings + the error
+        # grace to re-quarantine — a self-inflicted outage from a heal
+        try:
+            lo = file_footer_offset_min(src)
+        except Exception:
+            continue  # unreadable archived segment: leave it
+        if through_offset is not None and (lo is None or lo > through_offset):
+            continue
         shutil.move(src, os.path.join(changelog_dir, fn))
         restored.append(fn)
     if restored and not any(

@@ -204,7 +204,9 @@ def test_corrupt_changelog_segment_goes_to_error_dir(spark, tmp_path):
     assert (d / "_archive" / "seg0.parquet").exists()
 
     # reprocess_errors: an operator REPAIRS corrupt.parquet in place —
-    # only now-readable segments return; still-corrupt ones stay put
+    # only now-readable segments return, and they land in _archive/
+    # (served to out-of-band catch-ups, invisible to the live stream:
+    # their offsets are already below the marks); still-corrupt stay put
     from debezium_incubator_spark.sources.gc import reprocess_errors
 
     spark.range(3).select(F.col("id").alias("offset")).coalesce(1).write.mode(
@@ -215,7 +217,8 @@ def test_corrupt_changelog_segment_goes_to_error_dir(spark, tmp_path):
     shutil.rmtree(str(d / "fix"))
     back = reprocess_errors(str(d))
     assert back == ["corrupt.parquet"]
-    assert (d / "corrupt.parquet").exists()
+    assert (d / "_archive" / "corrupt.parquet").exists()
+    assert not (d / "corrupt.parquet").exists()
     assert (d / "_error" / "stalled.parquet").exists()  # still unreadable
 
 

@@ -94,6 +94,20 @@ def test_rename_mapping_survives_checkpoint_without_renames(spark, tmp_path):
     assert row["language"] == "py" and row["content"] == "v1\n"
 
 
+def test_rename_revert_cycle_terminates(spark, tmp_path):
+    """Review r5 #1: a rename REVERT (lang→language, then language→lang)
+    makes the checkpoint rename chain circular — the candidate walk must
+    be cycle-bounded or apply_epoch spins the driver forever."""
+    eng = _bootstrapped(spark, tmp_path)
+    eng.rename_column("lang", "language")
+    eng.rename_column("language", "lang")
+    ev = mk_events(spark, [{"offset": 1, "op": "u", "repo": "r", "path": "a",
+                            "after": IMG("v1\n")}])
+    eng.apply_epoch(ev, stream_pos=1)
+    row = eng.final_state().first()
+    assert row["lang"] == "py" and row["content"] == "v1\n"
+
+
 def test_unmapped_new_column_defaults_null(spark, tmp_path):
     """An added column with no envelope counterpart stays null instead of
     failing the apply (≙ ALTER handled, data backfilled lazily)."""

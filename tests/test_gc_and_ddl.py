@@ -75,6 +75,37 @@ def test_restore_archived(spark, tmp_path):
     assert len(moved2) == 2
 
 
+def test_delete_mode_gc_records_deleted_through(spark, tmp_path):
+    """Review r5 #4: delete-mode GC must record its own mark — archived
+    history is servable from _archive/, DELETED history is gone forever
+    and must keep catch-up paths warning even when a later archive-mode
+    pass leaves files in _archive/."""
+    import json
+
+    d = str(tmp_path / "chlog")
+    lo = mk_events(spark, [{"offset": i, "op": "u", "repo": "r", "path": f"p{i}",
+                            "after": IMG(f"v{i}\n")} for i in range(10)])
+    hi = mk_events(spark, [{"offset": 100 + i, "op": "u", "repo": "r", "path": f"p{i}",
+                            "after": IMG(f"w{i}\n")} for i in range(10)])
+    lo.coalesce(1).write.mode("append").parquet(d)
+    hi.coalesce(1).write.mode("append").parquet(d)
+
+    moved = expire_changelog_files(d, {str(b): 50 for b in range(4)},
+                                   num_buckets=4, mode="delete")
+    assert len(moved) == 1
+    with open(os.path.join(d, "_gc_state.json")) as f:
+        state = json.load(f)
+    assert state["deleted_through"] == 50 and state["archived_through"] == -1
+
+    # a later ARCHIVE-mode pass raises only its own mark
+    moved2 = expire_changelog_files(d, {str(b): 200 for b in range(4)},
+                                    num_buckets=4, mode="archive")
+    assert len(moved2) == 1
+    with open(os.path.join(d, "_gc_state.json")) as f:
+        state = json.load(f)
+    assert state["deleted_through"] == 50 and state["archived_through"] == 200
+
+
 def test_apply_ddl_events(spark, tmp_path):
     eng = CDCEngine(spark, str(tmp_path / "t"), str(tmp_path / "c"), num_buckets=4)
     eng.create_target()

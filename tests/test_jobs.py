@@ -129,6 +129,26 @@ def test_split_ddl_script_quote_aware():
     assert stmts[3].startswith("DROP TABLE t4")
 
 
+def test_split_ddl_script_comment_apostrophe():
+    """Review r5 #5: an apostrophe inside a -- comment is prose, not a
+    literal delimiter — it must not flip the quote state and glue every
+    following statement into one silently-dropped blob. Comments are
+    stripped (a pure-comment line never surfaces as a bogus statement)."""
+    from debezium_incubator_spark.sources.ddl import split_ddl_script
+
+    text = (
+        "-- don't touch this file\n"
+        'CREATE TABLE t1 ("a" number, PRIMARY KEY ("a"));\n'
+        "ALTER TABLE t2 ADD (b number); -- trailing: it's fine\n"
+        "DROP TABLE t3;"
+    )
+    stmts = split_ddl_script(text)
+    assert len(stmts) == 3
+    assert stmts[0].startswith("CREATE TABLE t1")
+    assert stmts[1].startswith("ALTER TABLE t2") and "it's" not in stmts[1]
+    assert stmts[2].startswith("DROP TABLE t3")
+
+
 def test_multi_apply_job_stream_mode_with_ddl_dir(job_fixtures, tmp_path):
     """--mode stream attaches via StreamingMultiTableCDC (availableNow
     drain) and --ddl-dir opens the mid-stream DDL channel: a pre-seeded

@@ -763,6 +763,48 @@ def test_out_of_band_attach_catches_up_to_watermark(spark, tmp_path, fixtures):
         assert _final(orch, n) == expected[n]
 
 
+def test_archive_extra_paths_warn_matrix(spark, tmp_path):
+    """Review r5 #4: the catch-up view serves _archive/ whenever it has
+    segments, but 'archive has files' must not suppress the warning for
+    history a DELETE-mode pass already unlinked."""
+    import json
+    import warnings as _warnings
+
+    from debezium_incubator_spark.plans.orchestrator import StreamingMultiTableCDC
+
+    orch = MultiTableCDC(spark, str(tmp_path / "root"), num_buckets=4)
+    log_dir = tmp_path / "log"
+    log_dir.mkdir()
+    s = StreamingMultiTableCDC(orch, str(log_dir), str(tmp_path / "sck"))
+    state = log_dir / "_gc_state.json"
+
+    assert s._archive_extra_paths() == []  # no gc state at all
+
+    # archived + files present → serve the archive, no warning
+    (log_dir / "_archive").mkdir()
+    (log_dir / "_archive" / "seg.parquet").write_bytes(b"x")
+    state.write_text(json.dumps({"archived_through": 50, "deleted_through": -1}))
+    with _warnings.catch_warnings(record=True) as w:
+        _warnings.simplefilter("always")
+        assert s._archive_extra_paths() == [str(log_dir / "_archive")]
+    assert not w
+
+    # delete-mode history gone → warn EVEN THOUGH the archive has files
+    state.write_text(json.dumps({"archived_through": 50, "deleted_through": 10}))
+    with _warnings.catch_warnings(record=True) as w:
+        _warnings.simplefilter("always")
+        assert s._archive_extra_paths() == [str(log_dir / "_archive")]
+    assert any("delete-mode" in str(x.message) for x in w)
+
+    # archive mark set but directory drained (operator pruned) → warn
+    (log_dir / "_archive" / "seg.parquet").unlink()
+    state.write_text(json.dumps({"archived_through": 50, "deleted_through": -1}))
+    with _warnings.catch_warnings(record=True) as w:
+        _warnings.simplefilter("always")
+        assert s._archive_extra_paths() == []
+    assert any("holds no segments" in str(x.message) for x in w)
+
+
 def test_out_of_band_attach_heals_through_archived_history(spark, tmp_path, fixtures):
     """VERDICT r4 #5: GC archives the delivered segments BEFORE a table
     attaches out-of-band — the catch-up must read the owed history from
