@@ -66,6 +66,10 @@ def main():
     p.add_argument("--maintain", action="store_true",
                    help="after catch-up: per-table compaction/version GC + "
                         "shared-changelog archival (min watermark across tables)")
+    p.add_argument("--http-port", type=int,
+                   help="serve /ping /buildinfo /metrics /health on this port "
+                        "while the job runs (M3, ≙ the reference's embedded "
+                        "HTTP server; 0 = ephemeral)")
     args = p.parse_args()
 
     from pyspark.sql import SparkSession
@@ -82,6 +86,13 @@ def main():
     for name in (args.tables or "").split(","):
         if name.strip():
             orch.create_table(name.strip())
+
+    server = None
+    if args.http_port is not None:
+        from debezium_incubator_spark.monitoring import MetricsServer
+
+        server = MetricsServer(orch, port=args.http_port, host="0.0.0.0").start()
+        print(json.dumps({"metrics_port": server.port}), flush=True)
 
     if args.ddl_file:
         with open(args.ddl_file) as f:
@@ -111,6 +122,8 @@ def main():
                 q.awaitTermination()
     if args.maintain:
         orch.maintain(changelog_dir=args.changelog)
+    if server is not None:
+        server.stop()
     print(json.dumps(orch.metrics()))
     spark.stop()
 

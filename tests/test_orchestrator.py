@@ -763,6 +763,43 @@ def test_out_of_band_attach_catches_up_to_watermark(spark, tmp_path, fixtures):
         assert _final(orch, n) == expected[n]
 
 
+def test_metrics_http_endpoints(spark, tmp_path):
+    """M3 — the reference's four HTTP servlets (/ping /buildinfo
+    /metrics /health, CassandraConnectorTask.java:115-127) served from
+    the orchestrator's checkpoint-derived metrics, stdlib-only."""
+    import json
+    from urllib.request import urlopen
+
+    from debezium_incubator_spark.monitoring import MetricsServer
+
+    src = gen_source_table(spark, n_keys=40, n_repos=4, n_tables=2)
+    orch = MultiTableCDC(spark, str(tmp_path / "mroot"), num_buckets=4)
+    orch.create_table("files_00")
+    orch.create_table("files_01")
+    orch.bootstrap(src)
+
+    server = MetricsServer(orch).start()
+    try:
+        base = f"http://127.0.0.1:{server.port}"
+        assert urlopen(f"{base}/ping").read() == b"pong"
+        bi = json.load(urlopen(f"{base}/buildinfo"))
+        assert bi["service_name"] == "debezium-incubator-spark"
+        m = json.load(urlopen(f"{base}/metrics"))
+        assert set(m) == {"files_00", "files_01"}
+        assert m["files_00"]["counters"]["events_in"] > 0
+        h = json.load(urlopen(f"{base}/health"))
+        assert h["healthy"] and h["phases"]["files_01"] == "stream"
+        import urllib.error
+
+        import pytest as _pytest
+
+        with _pytest.raises(urllib.error.HTTPError) as ei:
+            urlopen(f"{base}/nope")
+        assert ei.value.code == 404
+    finally:
+        server.stop()
+
+
 def test_archive_extra_paths_warn_matrix(spark, tmp_path):
     """Review r5 #4: the catch-up view serves _archive/ whenever it has
     segments, but 'archive has files' must not suppress the warning for
