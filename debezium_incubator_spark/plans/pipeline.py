@@ -60,6 +60,7 @@ class CDCEngine:
         checkpoint_interval: int = 1,
         snapshot_mode: str = "initial",  # initial | always | never
         audit_before: bool = False,
+        after_set_col: str | None = None,
     ):
         self.spark = spark
         self.table_path = table_path
@@ -104,6 +105,14 @@ class CDCEngine:
         # asserts (XStreamChangeRecordEmitter.java:44-51,
         # OracleConnectorIT.java:369-456)
         self.audit_before = audit_before
+        # cell set-flag channel (CellData.java:27-87 'set' sub-field,
+        # CommitLogReadHandlerImpl.java:351-410): when named, envelopes
+        # may carry a top-level array<string> of the payload fields the
+        # event actually SET — unset fields keep the current table value
+        # (null-vs-unset distinction); NULL array = full image. The
+        # column is optional per epoch: batches without it merge as full
+        # images exactly as before.
+        self.after_set_col = after_set_col
         self._table: LakeTable | None = None
         self._nb_checked = False
 
@@ -171,6 +180,12 @@ class CDCEngine:
             # bucket computed (and replay-guarded) upstream rides through
             cols.append(F.col(BUCKET_COL))
         payload = self._payload_names()
+        set_col = (
+            F.col(self.after_set_col)
+            if self.after_set_col and self.after_set_col in events.columns
+            else None
+        )
+        translations: list[tuple[str, str]] = []  # (source name, current name)
         for name in payload:
             # candidate source names, newest first: the current name, the
             # checkpoint-carried rename chain (fast path / same-epoch
@@ -188,11 +203,25 @@ class CDCEngine:
             src = next((c for c in candidates if c in after_fields), None)
             if src is not None:
                 cols.append(F.col(f"after.{src}").alias(name))
+                if src != name:
+                    translations.append((src, name))
             else:
                 # column added by DDL after this envelope was written:
                 # null of the TABLE's type (was hardcoded string — wrong
                 # for nested list/map/struct payload columns)
                 cols.append(F.lit(None).cast(field_types.get(name, "string")).alias(name))
+        if set_col is not None:
+            # the set list names SOURCE fields; rewrite renamed entries
+            # to the current schema names so the merge's membership test
+            # (array_contains against CURRENT payload names) is exact.
+            # (closure factory: pyspark counts the lambda's parameters,
+            # so default-arg capture would mis-arity the transform)
+            def _translate(old: str, new: str):
+                return lambda x: F.when(x == old, F.lit(new)).otherwise(x)
+
+            for old, new in translations:
+                set_col = F.transform(set_col, _translate(old, new))
+            cols.append(set_col.alias(self.after_set_col))
         out = events.select(*cols)
         if self.content_field in payload:
             c = F.col(self.content_field)
@@ -204,6 +233,18 @@ class CDCEngine:
                     F.col(self.content_field).isNotNull(), fingerprint(F.col(self.content_field))
                 ),
             )
+            if set_col is not None:
+                # content_sha256 is DERIVED from content: it is "set"
+                # exactly when content is — otherwise a content-keeping
+                # partial update would null out the stored fingerprint
+                asc = F.col(self.after_set_col)
+                out = out.withColumn(
+                    self.after_set_col,
+                    F.when(
+                        asc.isNotNull() & F.array_contains(asc, self.content_field),
+                        F.array_union(asc, F.array(F.lit("content_sha256"))),
+                    ).otherwise(asc),
+                )
         return out
 
     def _audit_before_images(self, events: DataFrame) -> int:
@@ -458,6 +499,11 @@ class CDCEngine:
             extra_counters=audit_counters,
             stats_rows=stats_rows,
             trust_bucket_col=True,  # computed via this table's with_bucket above
+            after_set_col=(
+                self.after_set_col
+                if self.after_set_col and self.after_set_col in flat.columns
+                else None
+            ),
         )
         if not stats["max_offsets"] and stats["counters"].get("events_in", 0) == 0:
             # K5 heartbeat: empty batch still advances the epoch/offsets

@@ -94,6 +94,83 @@ def test_rename_mapping_survives_checkpoint_without_renames(spark, tmp_path):
     assert row["language"] == "py" and row["content"] == "v1\n"
 
 
+def test_engine_level_partial_images(spark, tmp_path):
+    """Cell set-flags through the FULL engine (CellData.java:27-87;
+    CommitLogReadHandlerImpl.java:351-410): an epoch's envelopes carry
+    ``after_set``; unset fields keep current values, and the DERIVED
+    content_sha256 follows content (a content-keeping update must not
+    null the stored fingerprint)."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    eng = CDCEngine(
+        spark, str(tmp_path / "t"), str(tmp_path / "c"), num_buckets=4,
+        after_set_col="after_set",
+    )
+    eng.create_target()
+    eng.bootstrap(spark.createDataFrame(
+        [("r", "a", "c" * 40, "py", "v0\n")],
+        "repo string, path string, commit string, lang string, content string",
+    ))
+    sha0 = eng.final_state().first()["content_sha256"]
+
+    # epoch 1: content-only update (lang unset → keeps 'py')
+    ev1 = mk_events(spark, [{"offset": 1, "op": "u", "repo": "r", "path": "a",
+                             "after": {"commit": "d" * 40, "lang": None,
+                                       "content": "v1\n"}}])
+    ev1 = ev1.withColumn("after_set", F.array(F.lit("commit"), F.lit("content")))
+    eng.apply_epoch(ev1, stream_pos=1)
+    row = eng.final_state().first()
+    assert row["lang"] == "py" and row["content"] == "v1\n"
+    assert row["content_sha256"] != sha0
+    sha1 = row["content_sha256"]
+
+    # epoch 2: lang-only update — content AND its fingerprint kept
+    ev2 = mk_events(spark, [{"offset": 2, "op": "u", "repo": "r", "path": "a",
+                             "after": {"commit": None, "lang": "go",
+                                       "content": None}}])
+    ev2 = ev2.withColumn("after_set", F.array(F.lit("lang")))
+    eng.apply_epoch(ev2, stream_pos=2)
+    row = eng.final_state().first()
+    assert row["lang"] == "go"
+    assert row["content"] == "v1\n" and row["content_sha256"] == sha1
+
+    # epoch 3: NULL after_set = full image (replaces everything)
+    ev3 = mk_events(spark, [{"offset": 3, "op": "u", "repo": "r", "path": "a",
+                             "after": {"commit": "e" * 40, "lang": "rs",
+                                       "content": "v3\n"}}])
+    ev3 = ev3.withColumn("after_set", F.lit(None).cast("array<string>"))
+    eng.apply_epoch(ev3, stream_pos=3)
+    row = eng.final_state().first()
+    assert (row["lang"], row["content"]) == ("rs", "v3\n")
+
+
+def test_engine_partial_images_across_rename(spark, tmp_path):
+    """after_set entries name SOURCE fields: after a rename the engine
+    must rewrite them to current schema names or the membership test
+    silently treats the renamed field as unset."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    eng = CDCEngine(
+        spark, str(tmp_path / "t"), str(tmp_path / "c"), num_buckets=4,
+        after_set_col="after_set",
+    )
+    eng.create_target()
+    eng.bootstrap(spark.createDataFrame(
+        [("r", "a", "c" * 40, "py", "v0\n")],
+        "repo string, path string, commit string, lang string, content string",
+    ))
+    eng.rename_column("lang", "language")
+    # pre-rename envelope: sets ONLY lang (old name), content unset
+    ev = mk_events(spark, [{"offset": 1, "op": "u", "repo": "r", "path": "a",
+                            "after": {"commit": None, "lang": "go",
+                                      "content": None}}])
+    ev = ev.withColumn("after_set", F.array(F.lit("lang")))
+    eng.apply_epoch(ev, stream_pos=1)
+    row = eng.final_state().first()
+    assert row["language"] == "go"
+    assert row["content"] == "v0\n"  # unset → kept
+
+
 def test_rename_revert_cycle_terminates(spark, tmp_path):
     """Review r5 #1: a rename REVERT (lang→language, then language→lang)
     makes the checkpoint rename chain circular — the candidate walk must
