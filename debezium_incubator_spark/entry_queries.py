@@ -1408,6 +1408,77 @@ ORACLES["partial_image_merge"] = f"""
 """
 
 
+PARTIAL_IMAGE_ENGINE_ORACLE_DIR = f"/tmp/cdc_partialeng_oracle_{_os.getuid()}"
+
+
+def q_partial_image_engine_replay(spark, sf):
+    """Round-5: cell set-flags through the FULL ENGINE pipeline —
+    bootstrap, then three epochs of partial-update ENVELOPES carrying
+    ``after_set`` (CDCEngine(after_set_col=...): prefilter → bucket →
+    replay guard → unwrap → cost-based merge). Same field-wise oracle
+    as partial_image_merge, plus the derived fingerprint: the engine's
+    stored content_sha256 must equal sha256(final content) because the
+    sha is set exactly when content is (a content-keeping update must
+    not null or stale it). normalize=False so DuckDB needn't replicate
+    content normalization."""
+    import tempfile
+
+    from debezium_incubator_spark.plans.pipeline import CDCEngine
+    from debezium_incubator_spark.sources.generator import gen_partial_updates
+
+    base = PARTIAL_IMAGE_ENGINE_ORACLE_DIR
+    initial, events = gen_partial_updates(spark, n_keys=200, n_epochs=3)
+    initial.write.mode("overwrite").parquet(f"{base}/initial")
+    events.write.mode("overwrite").parquet(f"{base}/events")
+
+    work = tempfile.mkdtemp(prefix="cdc_pie_")
+    eng = CDCEngine(
+        spark, f"{work}/table", f"{work}/ckpt", num_buckets=8,
+        normalize=False, after_set_col="after_set",
+    )
+    eng.create_target()
+    eng.bootstrap(spark.read.parquet(f"{base}/initial"))
+    env = spark.read.parquet(f"{base}/events").select(
+        "offset",
+        "op",
+        (F.col("offset") + F.lit(1_700_000_000_000)).alias("ts_ms"),
+        "repo",
+        "path",
+        F.struct(F.col("commit"), F.col("lang"), F.col("content")).alias("after"),
+        "after_set",
+    )
+    for e in range(3):
+        batch = env.filter(
+            (F.col("offset") >= e * 10_000) & (F.col("offset") < (e + 1) * 10_000)
+        )
+        eng.apply_epoch(batch, stream_pos=(e + 1) * 10_000)
+    return eng.final_state().select(
+        "repo", "path", "commit", "lang", "content", "content_sha256"
+    )
+
+
+QUERIES["partial_image_engine_replay"] = q_partial_image_engine_replay
+
+_PIE = PARTIAL_IMAGE_ENGINE_ORACLE_DIR
+ORACLES["partial_image_engine_replay"] = f"""
+    WITH init AS (SELECT * FROM read_parquet('{_PIE}/initial/*.parquet')),
+    ev AS (SELECT * FROM read_parquet('{_PIE}/events/*.parquet')),
+    {_PI_FIELD.format(f="commit")},
+    {_PI_FIELD.format(f="lang")},
+    {_PI_FIELD.format(f="content")}
+    SELECT i.repo, i.path,
+           CASE WHEN c.repo IS NOT NULL THEN c."commit" ELSE i."commit" END AS "commit",
+           CASE WHEN l.repo IS NOT NULL THEN l.lang ELSE i.lang END AS lang,
+           CASE WHEN t.repo IS NOT NULL THEN t.content ELSE i.content END AS content,
+           lower(sha256(CASE WHEN t.repo IS NOT NULL THEN t.content ELSE i.content END))
+             AS content_sha256
+    FROM init i
+    LEFT JOIN last_commit c ON i.repo = c.repo AND i.path = c.path
+    LEFT JOIN last_lang l ON i.repo = l.repo AND i.path = l.path
+    LEFT JOIN last_content t ON i.repo = t.repo AND i.path = t.path
+"""
+
+
 def q_temporal_converters(spark, sf):
     """VERDICT r4 #7 — temporal VALUE converters under a cross-engine
     oracle: ZonedTimestamp ISO-8601 emission
