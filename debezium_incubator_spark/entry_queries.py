@@ -1420,14 +1420,19 @@ def q_partial_image_engine_replay(spark, sf):
     stored content_sha256 must equal sha256(final content) because the
     sha is set exactly when content is (a content-keeping update must
     not null or stale it). normalize=False so DuckDB needn't replicate
-    content normalization."""
+    content normalization. events_per_epoch=3: keys get SEVERAL partial
+    updates inside one epoch, so this oracle is red unless the merge
+    folds field-wise intra-epoch (review r5-2 #1) — winner-only LWW
+    would drop the earlier events' set fields."""
     import tempfile
 
     from debezium_incubator_spark.plans.pipeline import CDCEngine
     from debezium_incubator_spark.sources.generator import gen_partial_updates
 
     base = PARTIAL_IMAGE_ENGINE_ORACLE_DIR
-    initial, events = gen_partial_updates(spark, n_keys=200, n_epochs=3)
+    initial, events = gen_partial_updates(
+        spark, n_keys=200, n_epochs=3, events_per_epoch=3
+    )
     initial.write.mode("overwrite").parquet(f"{base}/initial")
     events.write.mode("overwrite").parquet(f"{base}/events")
 

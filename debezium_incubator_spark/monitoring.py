@@ -23,8 +23,10 @@ import json
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
+from debezium_incubator_spark import __version__
+
 BUILD_INFO = {
-    "version": "0.1.0",
+    "version": __version__,
     "service_name": "debezium-incubator-spark",
 }
 
@@ -60,8 +62,12 @@ class MetricsServer:
             m = self._metrics()
         except Exception as e:  # checkpoint store unreadable = unhealthy
             return 503, {"healthy": False, "error": str(e)}
-        # orchestrator: {table: {phase: ...}}; single engine: {phase: ...}
-        if m and all(isinstance(v, dict) for v in m.values()):
+        # orchestrator: {table: {phase: ...}} (empty = no tables yet);
+        # single engine: flat {phase: ...} (counters values are dicts,
+        # epoch/phase are not — that distinguishes the two shapes)
+        if not m:
+            phases: dict = {}
+        elif all(isinstance(v, dict) for v in m.values()):
             phases = {t: v.get("phase") for t, v in m.items()}
         else:
             phases = {"_table": m.get("phase")}

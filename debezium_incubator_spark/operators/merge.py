@@ -129,7 +129,17 @@ def merge_upsert(
     key_bytes_est = sum(int(r["key_bytes"] or 0) for r in stats_rows) + 48 * events_in
 
     extra = [c for c in (op_col, BUCKET_COL, after_set_col) if c]
-    if assume_unique_keys:
+    partial = after_set_col is not None and not assume_unique_keys
+    if partial:
+        # cell set-flag batches: field-wise fold, NOT winner-only LWW —
+        # several partial updates to one key in one epoch each
+        # contribute their set fields (review r5-2 #1); output carries a
+        # SYNTHESIZED after_set so the coalesce below fills exactly the
+        # never-set fields from the current row
+        latest = _lww_partial(
+            b, key_cols, order0, payload_cols, op_col, after_set_col, delete_ops
+        )
+    elif assume_unique_keys:
         # snapshot bootstrap fast path: rows are unique per key by
         # construction (a consistent table read) — skip the LWW
         # shuffle of full payloads
@@ -155,11 +165,16 @@ def merge_upsert(
     #    ONE hash-agg shuffle computes the final per-key state over
     #    current ∪ batch, with current rows ordered below every event.
     #    No driver-side key table, everything parallel.
+    # partial batches no longer FORCE the broadcast path (review r5-2
+    # #3: that bypassed both driver-size gates — a multi-million-row
+    # partial catch-up would build an ungated broadcast); when the gates
+    # fail, the fused path below expresses the same field-wise coalesce
+    # distributively (current rows ride as full-image pseudo-events)
     use_broadcast = (
         not target_empty
         and (events_in <= min(broadcast_keys_max, max(target_rows // 4, 100_000)))
         and key_bytes_est <= broadcast_key_bytes_max
-    ) or after_set_col is not None
+    )
 
     if target_empty:
         upserts = latest.filter(~F.col(op_col).isin(*delete_ops))
@@ -190,7 +205,7 @@ def merge_upsert(
         # the wide payload out of the aggregate shuffle entirely.
         current = table.with_bucket(table.read(spark, buckets=changed), m)
         order_types = dict(b.dtypes)
-        cur_ev = current.select(
+        cur_cols = [
             *key_cols,
             *payload_cols,
             F.lit("r").alias(op_col),
@@ -202,17 +217,31 @@ def merge_upsert(
                 for i, c in enumerate(order_cols)
                 if c != op_col
             ],
-        )
+        ]
+        if partial:
+            # current rows ride as FULL-IMAGE pseudo-events (NULL set
+            # list, op 'r' ≠ 'u' → sets every field) below all real
+            # offsets: the field-wise fold then keeps the current value
+            # for any field no event set — the distributed form of the
+            # broadcast path's coalesce, with the same delete-reset
+            cur_cols.append(F.lit(None).cast("array<string>").alias(after_set_col))
+        cur_ev = current.select(*cur_cols)
         ev = b.select(*cur_ev.columns)
         unioned = cur_ev.unionByName(ev)
-        lww_fn = (
-            _lww_winner_join
-            if events_in + target_rows <= winner_broadcast_max
-            else _lww
-        )
-        fused = lww_fn(
-            unioned, key_cols, order_cols, payload_cols + [op_col, BUCKET_COL]
-        )
+        if partial:
+            fused = _lww_partial(
+                unioned, key_cols, order0, payload_cols, op_col, after_set_col,
+                delete_ops,
+            )
+        else:
+            lww_fn = (
+                _lww_winner_join
+                if events_in + target_rows <= winner_broadcast_max
+                else _lww
+            )
+            fused = lww_fn(
+                unioned, key_cols, order_cols, payload_cols + [op_col, BUCKET_COL]
+            )
         out = fused.filter(~F.col(op_col).isin(*delete_ops)).select(
             *key_cols, *payload_cols, BUCKET_COL
         )
@@ -243,6 +272,68 @@ def merge_upsert(
         if latest.is_cached:
             latest.unpersist()
     return version, {"max_offsets": max_offsets, "counters": counters}
+
+
+def _lww_partial(
+    df, key_cols, order0, payload_cols, op_col, after_set_col, delete_ops
+):
+    """Field-wise LWW fold for cell set-flag batches (review r5-2 #1:
+    winner-only LWW silently discarded earlier partial updates' fields
+    when a key had several events in one epoch).
+
+    Per key, matching chained per-event application (CellData.java
+    'set' semantics): each payload field's value comes from the LAST
+    event that SET it — op != 'u' or a NULL set list sets every field —
+    and a destructive event (delete/tombstone) RESETS the fold: only
+    events after the key's last destructive offset contribute, so a
+    post-delete re-create never inherits pre-delete cells. The row's
+    ``op`` is the overall winner's (a delete winner drops the key
+    downstream); the emitted ``after_set`` is synthesized as the union
+    of fields actually set, so the broadcast path's current-row
+    coalesce fills exactly the rest.
+
+    Shape: one key-partitioned window max (slim: offset only) + one
+    hash aggregation — no per-event iteration, no payload sort."""
+    from pyspark.sql.window import Window
+
+    is_del = F.col(op_col).isin(*delete_ops)
+    w = Window.partitionBy(*key_cols)
+    df = df.withColumn("__last_del", F.max(F.when(is_del, F.col(order0))).over(w))
+    # strictly below every real offset INCLUDING the fused path's
+    # -(1<<62) current-row sentinel (which must count as pre-delete)
+    post = F.col(order0) > F.coalesce(F.col("__last_del"), F.lit(-(1 << 62) - 1))
+    sets_all = (F.col(op_col) != "u") | F.col(after_set_col).isNull()
+    aggs = [
+        F.max_by(F.col(op_col), F.col(order0)).alias("__wop"),
+        F.max(F.col(BUCKET_COL)).alias(BUCKET_COL),
+    ]
+    for c in payload_cols:
+        setc = (
+            post
+            & ~is_del
+            & (sets_all | F.array_contains(F.col(after_set_col), c))
+        )
+        aggs.append(F.max_by(F.col(c), F.when(setc, F.col(order0))).alias(c))
+        aggs.append(F.max(F.when(setc, F.lit(1))).alias(f"__set_{c}"))
+    g = df.groupBy(*key_cols).agg(*aggs)
+    synth = F.filter(
+        F.array(
+            *[
+                F.when(F.col(f"__set_{c}") == 1, F.lit(c)).otherwise(
+                    F.lit(None).cast("string")
+                )
+                for c in payload_cols
+            ]
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return g.select(
+        *key_cols,
+        *payload_cols,
+        F.col("__wop").alias(op_col),
+        BUCKET_COL,
+        synth.alias(after_set_col),
+    )
 
 
 def _lww(df, key_cols, order_cols, payload_cols):

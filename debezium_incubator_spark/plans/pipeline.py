@@ -214,13 +214,18 @@ class CDCEngine:
             # the set list names SOURCE fields; rewrite renamed entries
             # to the current schema names so the merge's membership test
             # (array_contains against CURRENT payload names) is exact.
-            # (closure factory: pyspark counts the lambda's parameters,
-            # so default-arg capture would mis-arity the transform)
-            def _translate(old: str, new: str):
-                return lambda x: F.when(x == old, F.lit(new)).otherwise(x)
+            # ONE transform with a chained-when = SIMULTANEOUS
+            # substitution (review r5-2 #2): sequential transforms would
+            # re-rewrite pass 1's output when one translation's target
+            # equals another's source (rename reusing a freed name).
+            if translations:
+                def _translate(x):
+                    expr = x
+                    for old, new in translations:
+                        expr = F.when(x == old, F.lit(new)).otherwise(expr)
+                    return expr
 
-            for old, new in translations:
-                set_col = F.transform(set_col, _translate(old, new))
+                set_col = F.transform(set_col, _translate)
             cols.append(set_col.alias(self.after_set_col))
         out = events.select(*cols)
         if self.content_field in payload:

@@ -294,6 +294,7 @@ def gen_partial_updates(
     n_epochs: int = 3,
     seed: int = 42,
     touch_pct: int = 55,
+    events_per_epoch: int = 1,
 ) -> tuple[DataFrame, DataFrame]:
     """F3 — partial-image fixture for the cell set-flag merge path
     (null-vs-unset, CellData.java:27-87 'set' sub-field;
@@ -304,9 +305,12 @@ def gen_partial_updates(
 
     * ``initial`` — one full row per key: (repo, path, commit, lang,
       content), the pre-stream table state.
-    * ``events`` — per epoch, ≤1 event per key (offset = epoch*10_000 +
-      key id, so epochs are disjoint offset ranges and chained-epoch
-      semantics are SQL-expressible as "last event that SET the field").
+    * ``events`` — per epoch, ≤``events_per_epoch`` events per key
+      (offset = epoch*10_000 + rep*1_000 + key id: epochs are disjoint
+      offset ranges and the no-delete semantics stay SQL-expressible as
+      "last event that SET the field" — with ``events_per_epoch > 1``
+      that requires the merge's intra-epoch field-wise fold, review
+      r5-2 #1; the default 1 keeps the historical single-event form).
       Each update carries ``after_set`` (the list of payload fields the
       event actually sets); fields outside it are NULL in the event and
       must KEEP the current table value, while a field inside it may be
@@ -332,10 +336,17 @@ def gen_partial_updates(
         F.concat(F.lit("init | "), path).alias("content"),
     )
 
+    if not (n_keys <= 1000 and 1 <= events_per_epoch <= 10):
+        raise ValueError("offset packing requires n_keys<=1000, events_per_epoch in 1..10")
     epochs = spark.range(0, n_epochs).select(F.col("id").cast("long").alias("ep"))
-    grid = ids.crossJoin(epochs)
+    reps = spark.range(0, events_per_epoch).select(F.col("id").cast("long").alias("rep"))
+    grid = ids.crossJoin(epochs).crossJoin(reps)
     p, e = F.col("kid"), F.col("ep")
-    pe = F.concat(F.format_string("src/f%05d.py", p), F.lit("|"), e.cast("string"))
+    pe = F.concat(
+        F.format_string("src/f%05d.py", p),
+        F.lit("|"), e.cast("string"),
+        F.lit("|"), F.col("rep").cast("string"),
+    )
     touched = F.pmod(F.xxhash64(pe, F.lit("pi_has"), F.lit(seed)), F.lit(100)) < F.lit(touch_pct)
     grid = grid.filter(touched)
     grid = grid.withColumn("repo", repo).withColumn("path", F.format_string("src/f%05d.py", p))
@@ -355,7 +366,7 @@ def gen_partial_updates(
     new_lang = F.when(lang_null, F.lit(None).cast("string")).otherwise(
         F.element_at(lang_arr, (F.pmod(F.xxhash64(pe, F.lit("pi_lang"), F.lit(seed)), F.lit(len(LANGS))) + 1).cast("int"))
     )
-    new_content = F.format_string("v%d of src/f%05d.py", e, p)
+    new_content = F.format_string("v%d.%d of src/f%05d.py", e, F.col("rep"), p)
 
     ns = F.lit(None).cast("string")
     after_set = F.when(full, F.lit(None).cast("array<string>")).otherwise(
@@ -375,7 +386,7 @@ def gen_partial_updates(
         F.when(set_lang, new_lang).otherwise(ns).alias("lang"),
         F.when(set_content, new_content).otherwise(ns).alias("content"),
         op.alias("op"),
-        (e * 10_000 + p).alias("offset"),
+        (e * 10_000 + F.col("rep") * 1_000 + p).alias("offset"),
         after_set.alias("after_set"),
     )
     return initial, events

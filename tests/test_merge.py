@@ -82,6 +82,44 @@ def test_merge_partial_images_after_set(spark, tmp_table):
     assert got == {"a": ("v1", "py"), "b": ("w1", "go")}
 
 
+def test_merge_partial_images_fold_multi_events_per_key(spark, tmp_table):
+    """Review r5-2 #1: several partial updates to ONE key in ONE batch
+    each contribute their set fields (field-wise fold, CellData 'set'
+    chained application) — winner-only LWW would silently drop the
+    earlier events' fields. A destructive event RESETS the fold."""
+    batch = spark.createDataFrame(
+        [
+            # key a: content set at 10, lang set at 20 → BOTH apply
+            ("r", "a", "vA", None, "u", 10, ["content"]),
+            ("r", "a", None, "ts", "u", 20, ["lang"]),
+            # key b: partial update BEFORE a delete must not leak into
+            # the post-delete re-create (full image at 30)
+            ("r", "b", "leak", None, "u", 10, ["content"]),
+            ("r", "b", None, None, "d", 20, None),
+            ("r", "b", "w3", "md", "c", 30, None),
+            # key c: partial update then delete → key gone
+            ("r", "c", None, "py", "u", 10, ["lang"]),
+            ("r", "c", None, None, "d", 20, None),
+        ],
+        BATCH_DDL + ", after_set array<string>",
+    )
+    for kw in ({}, {"broadcast_keys_max": 0}):  # broadcast AND fused paths
+        path = f"{tmp_table}_fold_{'fused' if kw else 'bc'}"
+        t = _table(spark, path, [("r", "a", "v0", "py"),
+                                 ("r", "b", "w0", "go"),
+                                 ("r", "c", "x0", "rs")])
+        merge_upsert(
+            t, batch, ["repo", "path"], ["offset", "op"],
+            summary={"epoch": 1}, after_set_col="after_set", **kw,
+        )
+        got = {r["path"]: (r["content"], r["lang"])
+               for r in t.read(spark).collect()}
+        assert got == {
+            "a": ("vA", "ts"),
+            "b": ("w3", "md"),
+        }, kw
+
+
 def test_gen_partial_updates_fixture_not_vacuous(spark):
     """The partial_image_merge oracle (VERDICT r4 #2) is only as strong
     as its fixture: keep every interesting case populated — full images,
@@ -111,12 +149,23 @@ def test_gen_partial_updates_fixture_not_vacuous(spark):
         )
         chained = ev.groupBy("repo", "path").count().filter(F.col("count") >= 2)
         assert chained.count() > 50
-        # ≤1 event per key per epoch — the chained-epoch SQL oracle
-        # relies on it (the engine only folds the epoch WINNER)
+        # default form: ≤1 event per key per epoch (the merge-level
+        # oracle's chained-epoch SQL relies on it)
         per_epoch = ev.groupBy("repo", "path", F.floor(F.col("offset") / 10_000)).count()
         assert per_epoch.agg(F.max("count")).first()[0] == 1
     finally:
         ev.unpersist()
+
+    # multi form (the ENGINE oracle's input): some keys must get several
+    # events inside ONE epoch, or the intra-epoch field-wise fold
+    # (review r5-2 #1) is never exercised
+    from debezium_incubator_spark.sources.generator import gen_partial_updates as g
+
+    _, multi = g(spark, n_keys=200, n_epochs=3, events_per_epoch=3)
+    per_epoch_multi = multi.groupBy(
+        "repo", "path", F.floor(F.col("offset") / 10_000)
+    ).count()
+    assert per_epoch_multi.agg(F.max("count")).first()[0] >= 2
 
 
 def test_merge_lww_strategies_equivalent(spark, tmp_table):

@@ -781,20 +781,20 @@ def test_metrics_http_endpoints(spark, tmp_path):
     server = MetricsServer(orch).start()
     try:
         base = f"http://127.0.0.1:{server.port}"
-        assert urlopen(f"{base}/ping").read() == b"pong"
-        bi = json.load(urlopen(f"{base}/buildinfo"))
+        assert urlopen(f"{base}/ping", timeout=10).read() == b"pong"
+        bi = json.load(urlopen(f"{base}/buildinfo", timeout=10))
         assert bi["service_name"] == "debezium-incubator-spark"
-        m = json.load(urlopen(f"{base}/metrics"))
+        m = json.load(urlopen(f"{base}/metrics", timeout=10))
         assert set(m) == {"files_00", "files_01"}
         assert m["files_00"]["counters"]["events_in"] > 0
-        h = json.load(urlopen(f"{base}/health"))
+        h = json.load(urlopen(f"{base}/health", timeout=10))
         assert h["healthy"] and h["phases"]["files_01"] == "stream"
         import urllib.error
 
         import pytest as _pytest
 
         with _pytest.raises(urllib.error.HTTPError) as ei:
-            urlopen(f"{base}/nope")
+            urlopen(f"{base}/nope", timeout=10)
         assert ei.value.code == 404
     finally:
         server.stop()
