@@ -718,7 +718,9 @@ class StreamingMultiTableCDC(StreamingCDC):
             at = int(state.get("archived_through", -1))
             dt = int(state.get("deleted_through", -1))
         except (FileNotFoundError, ValueError):
-            return []
+            at = dt = -1  # no GC state — but _archive/ may still hold
+            # segments (e.g. reprocess_errors restored repaired ones
+            # there): serve whatever exists, marks only drive warnings
         archive = os.path.join(self.changelog_dir, "_archive")
         try:
             has_files = any(fn.endswith(".parquet") for fn in os.listdir(archive))
