@@ -620,9 +620,16 @@ class StreamingMultiTableCDC(StreamingCDC):
             max_files_per_trigger=max_files_per_trigger,
             payload_fields=payload_fields,
         )
+        import threading
+
         self.orch = orch
         self.ddl_dir = ddl_dir
         self.catchup_offsets_per_epoch = catchup_offsets_per_epoch
+        # serializes foreachBatch with the idle-time DDL poller (both
+        # mutate orchestrator state: engines dict, ckpts, catch-ups)
+        self._gate = threading.Lock()
+        self._poller: threading.Thread | None = None
+        self._poller_error: Exception | None = None
 
     def _poll_ddl(self) -> None:
         """Apply any NEW ``.sql`` files from the control directory, in
@@ -801,10 +808,61 @@ class StreamingMultiTableCDC(StreamingCDC):
             self._stamp_oob(name, eng, ck, int(ck.get("stream_pos", -1)))
 
     def _apply_batch(self, batch_df, epoch_id: int) -> None:
-        if self.ddl_dir:
-            self._poll_ddl()
-        self._heal_out_of_band_tables()
-        self.orch.apply_batch(batch_df)
+        with self._gate:
+            if self._poller_error is not None:
+                err, self._poller_error = self._poller_error, None
+                raise err  # surface an idle-poll failure through the query
+            if self.ddl_dir:
+                self._poll_ddl()
+            self._heal_out_of_band_tables()
+            self.orch.apply_batch(batch_df)
+
+    def start(self, spark: SparkSession, available_now: bool = True,
+              processing_time: str | None = None):
+        """Same trigger modes as StreamingCDC, plus the DDL channel's
+        QUIESCENCE fix (review r5-3 — the root cause of the
+        mid-stream-DDL test flake): foreachBatch only fires on DATA, so
+        a ``.sql`` landing after the stream drained the directory — or
+        sitting in the control dir while the changelog is idle — was
+        never applied. Now (a) one synchronous poll runs BEFORE the
+        query starts (pending DDL + out-of-band heals apply even on a
+        fully-drained directory), and (b) continuous mode starts a
+        daemon poller that applies DDL between triggers while the
+        stream is idle, serialized with foreachBatch by ``_gate`` so
+        orchestrator state is never mutated concurrently. A poller
+        failure is re-raised through the next data batch (and recorded
+        on ``self._poller_error``)."""
+        with self._gate:
+            if self.ddl_dir:
+                self._poll_ddl()
+            self._heal_out_of_band_tables()
+        q = super().start(
+            spark, available_now=available_now, processing_time=processing_time
+        )
+        if self.ddl_dir and processing_time is not None:
+            self._start_ddl_poller(q)
+        return q
+
+    def _start_ddl_poller(self, q, interval_s: float = 1.0) -> None:
+        import threading
+        import time as _time
+
+        def loop():
+            while q.isActive:
+                try:
+                    with self._gate:
+                        if not q.isActive:
+                            return
+                        self._poll_ddl()
+                        self._heal_out_of_band_tables()
+                except Exception as e:  # surfaced via the next data batch
+                    self._poller_error = e
+                    return
+                _time.sleep(interval_s)
+
+        t = threading.Thread(target=loop, name="cdc-ddl-poller", daemon=True)
+        t.start()
+        self._poller = t
 
     def run_until(self, spark: SparkSession, stop_condition, **kw) -> None:
         """Continuous-watch form; ``stop_condition`` receives the

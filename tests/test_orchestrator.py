@@ -521,6 +521,8 @@ def test_mid_stream_ddl_channel(spark, tmp_path, fixtures):
         while True:
             if q.exception() is not None:
                 raise q.exception()
+            if s._poller_error is not None:
+                raise s._poller_error
             eng = orch.engines.get("files_01")
             if (
                 eng is not None
@@ -557,6 +559,67 @@ def test_mid_stream_ddl_channel(spark, tmp_path, fixtures):
 
     with open(os.path.join(root, "_ddl_applied.json")) as f:
         assert _json.load(f) == ["001_create.sql"]
+
+def test_ddl_applies_while_stream_idle(spark, tmp_path, fixtures):
+    """Review r5-3 root cause of the old flake: foreachBatch never fires
+    on empty triggers, so a .sql landing AFTER the stream drained the
+    directory starved forever. The idle-time poller must apply it — and
+    replay the new table's history — with NO new data arriving."""
+    import time
+
+    from debezium_incubator_spark.plans.orchestrator import StreamingMultiTableCDC
+
+    src, log = fixtures
+    expected = _final(_clean_run(spark, tmp_path, src, log, sub="cleanidle"), "files_01")
+    top = int(log.agg(F.max("offset")).first()[0])
+
+    log_dir = str(tmp_path / "idlelog")
+    log.coalesce(1).write.mode("append").parquet(log_dir)
+    ddl_dir = tmp_path / "idlectl"
+    ddl_dir.mkdir()
+
+    orch = MultiTableCDC(spark, str(tmp_path / "idleroot"), num_buckets=4)
+    orch.create_table("files_00")
+    orch.bootstrap(src)
+    s = StreamingMultiTableCDC(
+        orch, log_dir, str(tmp_path / "idlesck"), ddl_dir=str(ddl_dir)
+    )
+    q = s.start(spark, processing_time="1 seconds")
+    try:
+        deadline = time.monotonic() + 240
+        # let the stream FULLY drain the directory first
+        while time.monotonic() < deadline:
+            if q.exception() is not None:
+                raise q.exception()
+            if int(orch.engines["files_00"].store.latest().get("stream_pos", -1)) >= top:
+                break
+            time.sleep(0.2)
+        else:
+            raise TimeoutError("files_00 never drained the directory")
+        # now the directory is quiet: the ONLY path to this DDL is the
+        # idle poller
+        with open(ddl_dir / "001_create.sql", "w") as f:
+            f.write(CREATE_T1)
+        while time.monotonic() < deadline:
+            if q.exception() is not None:
+                raise q.exception()
+            if s._poller_error is not None:
+                raise s._poller_error
+            eng = orch.engines.get("files_01")
+            if eng is not None and int(
+                eng.store.latest().get("stream_pos", -1)
+            ) >= top:
+                break
+            time.sleep(0.3)
+        else:
+            raise TimeoutError("idle poller never applied the CREATE")
+    finally:
+        q.stop()
+
+    got = dict(((r[0], r[1]), tuple(r)) for r in _final(orch, "files_01"))
+    exp = dict(((r[0], r[1]), tuple(r)) for r in expected)
+    assert got and all(exp.get(k) == v for k, v in got.items())
+
 
 def test_mid_stream_drop_recreate_catches_up(spark, tmp_path, fixtures):
     """Review r4 #1: a DROP TABLE + CREATE TABLE of the SAME name in one
