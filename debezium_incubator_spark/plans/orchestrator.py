@@ -635,8 +635,12 @@ class StreamingMultiTableCDC(StreamingCDC):
         """Apply any NEW ``.sql`` files from the control directory, in
         name order, then catch owed tables up to the changelog already
         on disk (their subsequent redelivery by the file source is
-        absorbed by the replay guard). Runs on the foreachBatch driver
-        thread — between epochs, never mid-epoch."""
+        absorbed by the replay guard). Runs under ``_gate`` on THREE
+        driver threads — the foreachBatch thread (between epochs, never
+        mid-epoch), the pre-start poll in ``start()``, and the
+        idle-time poller — which the lock serializes; anything this
+        method touches must stay safe to run while the stream is
+        between (not inside) micro-batches."""
         from debezium_incubator_spark.sources.ddl import split_ddl_script
 
         try:
@@ -794,7 +798,10 @@ class StreamingMultiTableCDC(StreamingCDC):
         if wm < 0:
             return
         log = None
-        for name, eng in self.orch.engines.items():
+        # snapshot the dict: an operator thread can attach a table
+        # (create_table) while the 1 Hz poller iterates — a live-dict
+        # iteration would die with "changed size during iteration"
+        for name, eng in list(self.orch.engines.items()):
             ck = self.orch._ckpts.get(name) or eng._reconcile(eng.store.latest())
             if ck.get("phase") != "stream" or int(ck.get("stream_pos", -1)) >= 0:
                 continue
@@ -826,45 +833,82 @@ class StreamingMultiTableCDC(StreamingCDC):
         sitting in the control dir while the changelog is idle — was
         never applied. Now (a) one synchronous poll runs BEFORE the
         query starts (pending DDL + out-of-band heals apply even on a
-        fully-drained directory), and (b) continuous mode starts a
-        daemon poller that applies DDL between triggers while the
-        stream is idle, serialized with foreachBatch by ``_gate`` so
-        orchestrator state is never mutated concurrently. A poller
-        failure is re-raised through the next data batch (and recorded
-        on ``self._poller_error``)."""
+        fully-drained directory), and (b) EVERY continuous mode —
+        processingTime or the default ASAP trigger — starts a daemon
+        poller that applies DDL between triggers while the stream is
+        idle, serialized with foreachBatch by ``_gate`` so orchestrator
+        state is never mutated concurrently. A poller failure is
+        recorded on ``self._poller_error`` (checked by ``run_until``
+        and re-raised through the next data batch; polling CONTINUES —
+        the pending-file record is only written on success, so a
+        transient failure retries) and cleared on the next successful
+        poll. Callers that ``q.stop()`` directly should call
+        ``stop_poller()`` before running maintenance so no catch-up
+        outlives the query."""
         with self._gate:
+            self._poller_error = None  # a stale error from a previous
+            # query incarnation must not kill this one's first batch
             if self.ddl_dir:
                 self._poll_ddl()
             self._heal_out_of_band_tables()
         q = super().start(
             spark, available_now=available_now, processing_time=processing_time
         )
-        if self.ddl_dir and processing_time is not None:
+        continuous = processing_time is not None or not available_now
+        if self.ddl_dir and continuous:
             self._start_ddl_poller(q)
         return q
 
     def _start_ddl_poller(self, q, interval_s: float = 1.0) -> None:
         import threading
-        import time as _time
+
+        self.stop_poller()  # at most one poller per driver instance
+        self._poller_stop = threading.Event()
+        stop = self._poller_stop
 
         def loop():
-            while q.isActive:
+            while q.isActive and not stop.is_set():
                 try:
                     with self._gate:
-                        if not q.isActive:
+                        if not q.isActive or stop.is_set():
                             return
                         self._poll_ddl()
                         self._heal_out_of_band_tables()
-                except Exception as e:  # surfaced via the next data batch
+                    self._poller_error = None  # recovered
+                except Exception as e:
+                    # keep polling: un-recorded files retry next tick;
+                    # run_until / the next data batch surface the error
                     self._poller_error = e
-                    return
-                _time.sleep(interval_s)
+                stop.wait(interval_s)
 
         t = threading.Thread(target=loop, name="cdc-ddl-poller", daemon=True)
         t.start()
         self._poller = t
 
+    def stop_poller(self, timeout_s: float = 30.0) -> None:
+        """Stop the idle-time DDL poller and wait for any in-flight
+        poll/catch-up to finish — call after ``q.stop()`` and before
+        maintenance, or a catch-up replay could race compaction."""
+        stop = getattr(self, "_poller_stop", None)
+        if stop is not None:
+            stop.set()
+        if self._poller is not None:
+            self._poller.join(timeout=timeout_s)
+            self._poller = None
+
     def run_until(self, spark: SparkSession, stop_condition, **kw) -> None:
         """Continuous-watch form; ``stop_condition`` receives the
-        ORCHESTRATOR (the single-table base passes its engine)."""
-        return super().run_until(spark, lambda _eng: stop_condition(self.orch), **kw)
+        ORCHESTRATOR (the single-table base passes its engine). A
+        poller failure surfaces here too — on an IDLE stream there is
+        no data batch to re-raise it, and waiting out the timeout would
+        mask the real error as TimeoutError."""
+
+        def cond(_eng):
+            if self._poller_error is not None:
+                raise self._poller_error
+            return stop_condition(self.orch)
+
+        try:
+            return super().run_until(spark, cond, **kw)
+        finally:
+            self.stop_poller()

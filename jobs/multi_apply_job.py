@@ -120,6 +120,11 @@ def main():
                 q.stop()
             else:
                 q.awaitTermination()
+            # no catch-up may outlive the query: --maintain below would
+            # otherwise race a live replay with compaction/version GC
+            s.stop_poller()
+            if s._poller_error is not None:
+                raise s._poller_error
     if args.maintain:
         orch.maintain(changelog_dir=args.changelog)
     if server is not None:

@@ -540,6 +540,7 @@ def test_mid_stream_ddl_channel(spark, tmp_path, fixtures):
             time.sleep(0.3)
     finally:
         q.stop()
+        s.stop_poller()
 
     # same convergence contract as the batch mid-stream DDL test: every
     # key the changelog touches matches the clean run; the residual is
@@ -615,6 +616,7 @@ def test_ddl_applies_while_stream_idle(spark, tmp_path, fixtures):
             raise TimeoutError("idle poller never applied the CREATE")
     finally:
         q.stop()
+        s.stop_poller()
 
     got = dict(((r[0], r[1]), tuple(r)) for r in _final(orch, "files_01"))
     exp = dict(((r[0], r[1]), tuple(r)) for r in expected)
