@@ -306,6 +306,9 @@ def _lww_partial(
     aggs = [
         F.max_by(F.col(op_col), F.col(order0)).alias("__wop"),
         F.max(F.col(BUCKET_COL)).alias(BUCKET_COL),
+        # per-key constant (window max); carried so the output can mark
+        # delete-reset keys as FULL images (review r5-3 #1 below)
+        F.max(F.col("__last_del")).alias("__ld"),
     ]
     for c in payload_cols:
         setc = (
@@ -327,12 +330,22 @@ def _lww_partial(
         ),
         lambda x: x.isNotNull(),
     )
+    # review r5-3 #1: a key whose fold crossed an in-batch delete must
+    # emit a FULL image (NULL set list = "sets every field"), not the
+    # synthesized union — otherwise the broadcast path's current-row
+    # coalesce back-fills never-set fields from the PRE-delete table
+    # row, resurrecting deleted cells (d-then-partial-u in one epoch).
+    # The fold itself already reset those fields to NULL; NULL after_set
+    # makes _coalesce_partial keep them NULL, matching the fused path.
+    out_set = F.when(
+        F.col("__ld").isNotNull(), F.lit(None).cast("array<string>")
+    ).otherwise(synth)
     return g.select(
         *key_cols,
         *payload_cols,
         F.col("__wop").alias(op_col),
         BUCKET_COL,
-        synth.alias(after_set_col),
+        out_set.alias(after_set_col),
     )
 
 

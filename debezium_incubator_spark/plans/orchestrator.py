@@ -577,8 +577,12 @@ class MultiTableCDC:
 
     def metrics(self) -> dict[str, dict]:
         """Per-table counters + lineage (≙ per-table offset files,
-        FileOffsetWriter.java:75-118)."""
-        return {name: eng.metrics() for name, eng in self.engines.items()}
+        FileOffsetWriter.java:75-118). Snapshots the engines dict:
+        MetricsServer handler threads call this concurrently with
+        DDL-driven create/drop (review r5-3 #5 — a live-dict iteration
+        dies with "changed size during iteration", turning a healthy
+        DDL apply into a spurious /health 503)."""
+        return {name: eng.metrics() for name, eng in list(self.engines.items())}
 
 
 class StreamingMultiTableCDC(StreamingCDC):
@@ -630,6 +634,8 @@ class StreamingMultiTableCDC(StreamingCDC):
         self._gate = threading.Lock()
         self._poller: threading.Thread | None = None
         self._poller_error: Exception | None = None
+        self._poller_error_ts: float = 0.0
+        self._poller_interval: float = 1.0
 
     def _poll_ddl(self) -> None:
         """Apply any NEW ``.sql`` files from the control directory, in
@@ -814,11 +820,31 @@ class StreamingMultiTableCDC(StreamingCDC):
             ck = eng._reconcile(eng.store.latest())
             self._stamp_oob(name, eng, ck, int(ck.get("stream_pos", -1)))
 
+    def _stale_poller_error(self) -> Exception | None:
+        """A poller error younger than the retry grace window is left in
+        place — the design is warn-and-retry (the pending-file record is
+        only written on success), and the next 1 Hz tick usually clears
+        it. Raising on the FIRST observation (review r5-3 #4: run_until
+        polls faster than the poller interval) would abort the whole
+        continuous run on a one-tick hiccup, contradicting that design.
+        Only an error that SURVIVED ≥3 poll intervals (≥3 retries) is
+        surfaced. Callers either hold ``_gate`` or accept the benign
+        double-pop race (both observers raise the same error)."""
+        import time
+
+        if self._poller_error is None:
+            return None
+        grace = max(3.0 * getattr(self, "_poller_interval", 1.0), 3.0)
+        if time.monotonic() - self._poller_error_ts < grace:
+            return None
+        err, self._poller_error = self._poller_error, None
+        return err
+
     def _apply_batch(self, batch_df, epoch_id: int) -> None:
         with self._gate:
-            if self._poller_error is not None:
-                err, self._poller_error = self._poller_error, None
-                raise err  # surface an idle-poll failure through the query
+            err = self._stale_poller_error()
+            if err is not None:
+                raise err  # surface a persistent idle-poll failure
             if self.ddl_dir:
                 self._poll_ddl()
             self._heal_out_of_band_tables()
@@ -837,14 +863,16 @@ class StreamingMultiTableCDC(StreamingCDC):
         processingTime or the default ASAP trigger — starts a daemon
         poller that applies DDL between triggers while the stream is
         idle, serialized with foreachBatch by ``_gate`` so orchestrator
-        state is never mutated concurrently. A poller failure is
-        recorded on ``self._poller_error`` (checked by ``run_until``
-        and re-raised through the next data batch; polling CONTINUES —
-        the pending-file record is only written on success, so a
-        transient failure retries) and cleared on the next successful
-        poll. Callers that ``q.stop()`` directly should call
-        ``stop_poller()`` before running maintenance so no catch-up
-        outlives the query."""
+        state is never mutated concurrently. The poller starts even
+        WITHOUT a DDL channel: out-of-band heals need the same idle
+        wake-up. A poller failure is recorded on ``self._poller_error``
+        and polling CONTINUES — the pending-file record is only written
+        on success, so a transient failure retries and the next
+        successful poll clears the slot; ``run_until`` and the next
+        data batch re-raise only an error that persisted past the
+        retry grace window (``_stale_poller_error``). Callers that
+        ``q.stop()`` directly should call ``stop_poller()`` before
+        running maintenance so no catch-up outlives the query."""
         with self._gate:
             self._poller_error = None  # a stale error from a previous
             # query incarnation must not kill this one's first batch
@@ -855,15 +883,23 @@ class StreamingMultiTableCDC(StreamingCDC):
             spark, available_now=available_now, processing_time=processing_time
         )
         continuous = processing_time is not None or not available_now
-        if self.ddl_dir and continuous:
+        if continuous:
+            # poller runs for EVERY continuous stream, not only with a
+            # DDL channel (review r5-3 #3): _heal_out_of_band_tables is
+            # its own wake-up need — a table attached while the
+            # changelog idles would otherwise starve exactly like the
+            # post-drain DDL file did (foreachBatch never fires on
+            # empty triggers)
             self._start_ddl_poller(q)
         return q
 
     def _start_ddl_poller(self, q, interval_s: float = 1.0) -> None:
         import threading
+        import time
 
         self.stop_poller()  # at most one poller per driver instance
         self._poller_stop = threading.Event()
+        self._poller_interval = interval_s
         stop = self._poller_stop
 
         def loop():
@@ -872,28 +908,47 @@ class StreamingMultiTableCDC(StreamingCDC):
                     with self._gate:
                         if not q.isActive or stop.is_set():
                             return
-                        self._poll_ddl()
+                        if self.ddl_dir:
+                            self._poll_ddl()
                         self._heal_out_of_band_tables()
-                    self._poller_error = None  # recovered
+                        self._poller_error = None  # recovered
                 except Exception as e:
                     # keep polling: un-recorded files retry next tick;
                     # run_until / the next data batch surface the error
-                    self._poller_error = e
+                    # if it persists. Recorded under the gate and only
+                    # for a LIVE incarnation (review r5-3 #6: a dying
+                    # poller's except block could otherwise poison the
+                    # NEXT query after its start() cleared the slot).
+                    with self._gate:
+                        if q.isActive and not stop.is_set():
+                            self._poller_error = e
+                            self._poller_error_ts = time.monotonic()
                 stop.wait(interval_s)
 
         t = threading.Thread(target=loop, name="cdc-ddl-poller", daemon=True)
         t.start()
         self._poller = t
 
-    def stop_poller(self, timeout_s: float = 30.0) -> None:
+    def stop_poller(self, timeout_s: float = 300.0) -> None:
         """Stop the idle-time DDL poller and wait for any in-flight
         poll/catch-up to finish — call after ``q.stop()`` and before
-        maintenance, or a catch-up replay could race compaction."""
+        maintenance, or a catch-up replay could race compaction.
+        Raises TimeoutError if the poller is still alive after
+        ``timeout_s`` (review r5-3 #2: returning success with a live
+        catch-up in flight is the exact race this method exists to
+        prevent); ``self._poller`` is kept so a retry can re-join. The
+        default allows a multi-epoch catch-up replay to finish."""
         stop = getattr(self, "_poller_stop", None)
         if stop is not None:
             stop.set()
         if self._poller is not None:
             self._poller.join(timeout=timeout_s)
+            if self._poller.is_alive():
+                raise TimeoutError(
+                    f"DDL poller still running a poll/catch-up after "
+                    f"{timeout_s:.0f}s — do NOT run maintenance; retry "
+                    f"stop_poller() once it finishes"
+                )
             self._poller = None
 
     def run_until(self, spark: SparkSession, stop_condition, **kw) -> None:
@@ -904,11 +959,26 @@ class StreamingMultiTableCDC(StreamingCDC):
         mask the real error as TimeoutError."""
 
         def cond(_eng):
-            if self._poller_error is not None:
-                raise self._poller_error
+            # no gate here: a catch-up replay can hold _gate for minutes
+            # and cond must keep checking the stop condition; the
+            # attribute reads are GIL-atomic and a double-pop with
+            # _apply_batch is benign (both raise the same error)
+            err = self._stale_poller_error()
+            if err is not None:
+                raise err
             return stop_condition(self.orch)
 
         try:
             return super().run_until(spark, cond, **kw)
         finally:
-            self.stop_poller()
+            import sys
+
+            try:
+                self.stop_poller()
+            except TimeoutError:
+                if sys.exc_info()[0] is None:
+                    raise  # clean run: surface the live catch-up
+                # already propagating the real error — don't mask it
+                import warnings
+
+                warnings.warn("stop_poller timed out during error unwind")

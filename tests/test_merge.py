@@ -100,6 +100,12 @@ def test_merge_partial_images_fold_multi_events_per_key(spark, tmp_table):
             # key c: partial update then delete → key gone
             ("r", "c", None, "py", "u", 10, ["lang"]),
             ("r", "c", None, None, "d", 20, None),
+            # key e (review r5-3 #1): delete then PARTIAL update — the
+            # re-created row carries ONLY the post-delete set fields;
+            # the broadcast path's coalesce must NOT back-fill content
+            # from the pre-delete current row ("old" stays dead)
+            ("r", "e", None, None, "d", 10, None),
+            ("r", "e", None, "go", "u", 20, ["lang"]),
         ],
         BATCH_DDL + ", after_set array<string>",
     )
@@ -107,7 +113,8 @@ def test_merge_partial_images_fold_multi_events_per_key(spark, tmp_table):
         path = f"{tmp_table}_fold_{'fused' if kw else 'bc'}"
         t = _table(spark, path, [("r", "a", "v0", "py"),
                                  ("r", "b", "w0", "go"),
-                                 ("r", "c", "x0", "rs")])
+                                 ("r", "c", "x0", "rs"),
+                                 ("r", "e", "old", "py")])
         merge_upsert(
             t, batch, ["repo", "path"], ["offset", "op"],
             summary={"epoch": 1}, after_set_col="after_set", **kw,
@@ -117,6 +124,7 @@ def test_merge_partial_images_fold_multi_events_per_key(spark, tmp_table):
         assert got == {
             "a": ("vA", "ts"),
             "b": ("w3", "md"),
+            "e": (None, "go"),
         }, kw
 
 

@@ -86,10 +86,13 @@ FIELDS = ["commit", "lang", "content"]
 @st.composite
 def partial_event_sequences(draw):
     """Valid cell set-flag sequences (review r5-2 #1): per key, 'c' full
-    images only when the key is dead (the reference contract — creates
-    re-materialize the whole row), 'u' carries a random non-empty set
-    list (values may be explicit None: the set-to-NULL case), 'd' kills
-    the key. Multiple events per key per epoch happen naturally."""
+    images re-materialize the whole row, 'u' carries a random non-empty
+    set list (values may be explicit None: the set-to-NULL case), 'd'
+    kills the key. A dead key may ALSO receive a partial 'u' (Cassandra
+    row updates re-create a deleted row with only the set cells —
+    review r5-3 #1: the broadcast path back-filled the rest from the
+    PRE-delete row). Multiple events per key per epoch happen
+    naturally."""
     n = draw(st.integers(min_value=1, max_value=20))
     events = []
     alive: dict = {}
@@ -98,7 +101,7 @@ def partial_event_sequences(draw):
         if alive.get(key):
             op = draw(st.sampled_from(["u", "u", "u", "d"]))
         else:
-            op = "c"
+            op = draw(st.sampled_from(["c", "c", "u"]))
         alive[key] = op != "d"
         if op == "d":
             events.append((off, key, "d", None, None))
