@@ -954,3 +954,66 @@ def test_out_of_band_attach_heals_through_archived_history(spark, tmp_path, fixt
 
     for n in ("files_00", "files_01"):
         assert _final(orch, n) == expected[n]
+
+
+# -- poller lifecycle unit tests (no Spark needed: driver-side state) --
+
+
+def _bare_streamer(tmp_path):
+    """StreamingMultiTableCDC with a stub orch — the constructor only
+    stores it (plus the changelog schema, which needs the session's
+    active SparkContext), so the poller-state machinery can be
+    exercised without a registered table or a running query."""
+    import types
+
+    from debezium_incubator_spark.plans.orchestrator import StreamingMultiTableCDC
+
+    orch = types.SimpleNamespace(root=str(tmp_path), engines={})
+    return StreamingMultiTableCDC(orch, str(tmp_path / "log"), str(tmp_path / "sck"))
+
+
+def test_stale_poller_error_grace_window(spark, tmp_path):
+    """A poll failure younger than ~3 intervals is retried silently (the
+    pending-file record is only written on success); one that persisted
+    past the grace window is surfaced exactly once and clears the slot."""
+    import time
+
+    s = _bare_streamer(tmp_path)
+    assert s._stale_poller_error() is None  # no error recorded
+
+    boom = RuntimeError("transient")
+    s._poller_error = boom
+    s._poller_error_ts = time.monotonic()
+    assert s._stale_poller_error() is None  # fresh → grace, retry wins
+    assert s._poller_error is boom  # left in place for the next tick
+
+    s._poller_error_ts = time.monotonic() - 10.0  # > 3 * 1.0s interval
+    assert s._stale_poller_error() is boom  # persisted → surfaced
+    assert s._poller_error is None  # slot cleared: raised at most once
+    assert s._stale_poller_error() is None
+
+
+def test_stop_poller_timeout_raises_then_rejoins(spark, tmp_path):
+    """stop_poller must NOT report success while a poll/catch-up is
+    still in flight (that is the compaction race it exists to prevent):
+    it raises TimeoutError, keeps the thread handle, and a retry after
+    the poll finishes joins cleanly."""
+    import threading
+    import time
+
+    s = _bare_streamer(tmp_path)
+    s._poller_stop = threading.Event()
+    release = threading.Event()
+    t = threading.Thread(target=release.wait, daemon=True)  # stuck "catch-up"
+    t.start()
+    s._poller = t
+
+    with pytest.raises(TimeoutError):
+        s.stop_poller(timeout_s=0.2)
+    assert s._poller is t  # handle kept so the retry can re-join
+
+    release.set()
+    time.sleep(0.05)
+    s.stop_poller(timeout_s=5.0)  # in-flight work done → clean join
+    assert s._poller is None
+    s.stop_poller()  # idempotent with no poller
