@@ -1581,6 +1581,114 @@ ORACLES["partial_image_engine_replay"] = f"""
     LEFT JOIN last_content t ON i.repo = t.repo AND i.path = t.path
 """
 
+PARTIAL_IMAGE_DELETE_ORACLE_DIR = f"/tmp/cdc_pidel_oracle_{_os.getuid()}"
+
+
+def q_partial_image_delete_replay(spark, sf):
+    """Round-5 (review r5-3 #1 pinned cross-engine): cell set-flags
+    UNDER DELETES through the full engine. 18% of events are row
+    deletes; a later PARTIAL update re-creates the row carrying ONLY
+    its set cells (a Cassandra row update after a delete resurrects
+    nothing, CommitLogReadHandlerImpl.java:351-410 + the partition
+    deletion semantics at :303-333). events_per_epoch=3 puts
+    d-then-partial-u inside ONE epoch, so this query is red if the
+    intra-epoch fold synthesizes a set list across a delete (the
+    broadcast coalesce would then back-fill pre-delete cells), AND it
+    pins the cross-epoch form (delete in epoch N, revive in N+1: no
+    current row, so unset fields must stay NULL). Keys whose last
+    event is the delete must be absent. The oracle recomputes
+    field-wise with delete fencing: only events AFTER the key's last
+    delete count, the initial snapshot value survives only for
+    never-deleted keys, and a key is alive iff never deleted or
+    revived after its last delete."""
+    import tempfile
+
+    from debezium_incubator_spark.plans.pipeline import CDCEngine
+    from debezium_incubator_spark.sources.generator import gen_partial_updates
+
+    base = PARTIAL_IMAGE_DELETE_ORACLE_DIR
+    initial, events = gen_partial_updates(
+        spark, n_keys=200, n_epochs=3, events_per_epoch=3, delete_pct=18
+    )
+    initial.write.mode("overwrite").parquet(f"{base}/initial")
+    events.write.mode("overwrite").parquet(f"{base}/events")
+
+    work = tempfile.mkdtemp(prefix="cdc_pid_")
+    eng = CDCEngine(
+        spark, f"{work}/table", f"{work}/ckpt", num_buckets=8,
+        normalize=False, after_set_col="after_set",
+    )
+    eng.create_target()
+    eng.bootstrap(spark.read.parquet(f"{base}/initial"))
+    env = spark.read.parquet(f"{base}/events").select(
+        "offset",
+        "op",
+        (F.col("offset") + F.lit(1_700_000_000_000)).alias("ts_ms"),
+        "repo",
+        "path",
+        F.struct(F.col("commit"), F.col("lang"), F.col("content")).alias("after"),
+        "after_set",
+    )
+    for e in range(3):
+        batch = env.filter(
+            (F.col("offset") >= e * 10_000) & (F.col("offset") < (e + 1) * 10_000)
+        )
+        eng.apply_epoch(batch, stream_pos=(e + 1) * 10_000)
+    return eng.final_state().select(
+        "repo", "path", "commit", "lang", "content", "content_sha256"
+    )
+
+
+QUERIES["partial_image_delete_replay"] = q_partial_image_delete_replay
+
+# Delete-fenced field-wise recomputation: per key, only events past the
+# LAST delete set fields; initial values survive only where d = -1
+# (never deleted); alive = never deleted OR any event after the last
+# delete. The join-presence flag keeps set-to-NULL distinct from
+# never-set, exactly as in the no-delete oracles above.
+_PID = PARTIAL_IMAGE_DELETE_ORACLE_DIR
+_PID_FIELD = """
+    last_{f} AS (
+      SELECT repo, path, "{f}" FROM (
+        SELECT e.repo, e.path, e."{f}",
+               row_number() OVER (PARTITION BY e.repo, e.path ORDER BY e."offset" DESC) rn
+        FROM ev e JOIN keys k ON e.repo = k.repo AND e.path = k.path
+        WHERE e."offset" > k.d
+          AND (e.op <> 'u' OR e.after_set IS NULL OR list_contains(e.after_set, '{f}')))
+      WHERE rn = 1)"""
+
+ORACLES["partial_image_delete_replay"] = f"""
+    WITH init AS (SELECT * FROM read_parquet('{_PID}/initial/*.parquet')),
+    ev AS (SELECT * FROM read_parquet('{_PID}/events/*.parquet')),
+    lastd AS (
+      SELECT repo, path, max("offset") AS d FROM ev WHERE op = 'd' GROUP BY repo, path),
+    keys AS (
+      SELECT i.repo, i.path, coalesce(l.d, CAST(-1 AS BIGINT)) AS d
+      FROM init i LEFT JOIN lastd l ON i.repo = l.repo AND i.path = l.path),
+    live AS (
+      SELECT k.repo, k.path, k.d FROM keys k
+      WHERE k.d = -1 OR EXISTS (
+        SELECT 1 FROM ev e
+        WHERE e.repo = k.repo AND e.path = k.path AND e."offset" > k.d)),
+    {_PID_FIELD.format(f="commit")},
+    {_PID_FIELD.format(f="lang")},
+    {_PID_FIELD.format(f="content")}
+    SELECT v.repo, v.path,
+           CASE WHEN c.repo IS NOT NULL THEN c."commit"
+                WHEN v.d = -1 THEN i."commit" END AS "commit",
+           CASE WHEN l2.repo IS NOT NULL THEN l2.lang
+                WHEN v.d = -1 THEN i.lang END AS lang,
+           CASE WHEN t.repo IS NOT NULL THEN t.content
+                WHEN v.d = -1 THEN i.content END AS content,
+           lower(sha256(CASE WHEN t.repo IS NOT NULL THEN t.content
+                             WHEN v.d = -1 THEN i.content END)) AS content_sha256
+    FROM live v
+    JOIN init i ON v.repo = i.repo AND v.path = i.path
+    LEFT JOIN last_commit c ON v.repo = c.repo AND v.path = c.path
+    LEFT JOIN last_lang l2 ON v.repo = l2.repo AND v.path = l2.path
+    LEFT JOIN last_content t ON v.repo = t.repo AND v.path = t.path
+"""
+
 
 def q_temporal_converters(spark, sf):
     """VERDICT r4 #7 — temporal VALUE converters under a cross-engine

@@ -295,6 +295,7 @@ def gen_partial_updates(
     seed: int = 42,
     touch_pct: int = 55,
     events_per_epoch: int = 1,
+    delete_pct: int = 0,
 ) -> tuple[DataFrame, DataFrame]:
     """F3 — partial-image fixture for the cell set-flag merge path
     (null-vs-unset, CellData.java:27-87 'set' sub-field;
@@ -317,8 +318,15 @@ def gen_partial_updates(
       explicitly set to NULL (~20% of set langs) — the very distinction
       the flag exists for. ~10% of events are full images
       (``after_set`` NULL); a third of those are op 'c' re-creates.
-      No deletes by design: destructive paths are pinned by the replay
-      queries; this fixture isolates field-wise coalescing.
+      With the default ``delete_pct=0`` there are no deletes
+      (destructive paths are pinned by the replay queries; the plain
+      fixture isolates field-wise coalescing) — the existing oracles
+      stay byte-identical. ``delete_pct>0`` turns that share of events
+      into row deletes (op 'd', all cells and ``after_set`` NULL):
+      a later PARTIAL update then re-creates the row carrying ONLY its
+      set cells (CommitLogReadHandlerImpl.java:351-410 — a Cassandra
+      row update after a delete resurrects nothing), the d-then-u trap
+      of review r5-3 #1.
 
     Pure function of (seed, key, epoch) — JVM-side expressions only.
     """
@@ -368,8 +376,12 @@ def gen_partial_updates(
     )
     new_content = F.format_string("v%d.%d of src/f%05d.py", e, F.col("rep"), p)
 
+    isdel = F.pmod(F.xxhash64(pe, F.lit("pi_del"), F.lit(seed)), F.lit(100)) < F.lit(
+        delete_pct
+    )
+    op = F.when(isdel, F.lit("d")).otherwise(op)
     ns = F.lit(None).cast("string")
-    after_set = F.when(full, F.lit(None).cast("array<string>")).otherwise(
+    after_set = F.when(isdel | full, F.lit(None).cast("array<string>")).otherwise(
         F.filter(
             F.array(
                 F.when(set_commit, F.lit("commit")).otherwise(ns),
@@ -382,9 +394,9 @@ def gen_partial_updates(
     events = grid.select(
         "repo",
         "path",
-        F.when(set_commit, new_commit).otherwise(ns).alias("commit"),
-        F.when(set_lang, new_lang).otherwise(ns).alias("lang"),
-        F.when(set_content, new_content).otherwise(ns).alias("content"),
+        F.when(~isdel & set_commit, new_commit).otherwise(ns).alias("commit"),
+        F.when(~isdel & set_lang, new_lang).otherwise(ns).alias("lang"),
+        F.when(~isdel & set_content, new_content).otherwise(ns).alias("content"),
         op.alias("op"),
         (e * 10_000 + F.col("rep") * 1_000 + p).alias("offset"),
         after_set.alias("after_set"),
