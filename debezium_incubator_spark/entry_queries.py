@@ -1756,3 +1756,43 @@ ORACLES["temporal_converters"] = """
              AS dts_us
     FROM z
 """
+
+
+def q_doc_fingerprints(spark, sf):
+    """Round-5: the Karp-Rabin document fingerprint (the last
+    LLM-pipeline batch operator that was pytest-only) under a
+    cross-engine oracle. The Spark side is the numpy-vectorized pandas
+    UDF (`functions/text.py:rolling_fingerprint` — dual Mersenne
+    moduli packed into one 62-bit long, chunked power-sum); the oracle
+    recomputes it as a per-character Horner fold (list_reduce), which
+    is algebraically the same polynomial. Parity holds byte-exact
+    because the corpus is ASCII (DuckDB ascii(char) == the UTF-8 byte;
+    the testdata documents table is verified single-byte — a non-ASCII
+    corpus would need a byte-level oracle instead)."""
+    from debezium_incubator_spark.functions.text import doc_fingerprints
+
+    return doc_fingerprints(
+        spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    ).select("doc_id", "fingerprint", "sha256")
+
+
+QUERIES["doc_fingerprints"] = q_doc_fingerprints
+
+# Horner fold per character under both moduli: acc = acc*BASE + byte
+# (mod p). list_reduce seeds with the first element, which equals the
+# zero-seeded fold; BIGINT cast keeps acc*BASE ~2^51 exact. Packing:
+# fp2 < 2^29, so (fp1 << 31) | fp2 == fp1*2^31 + fp2.
+ORACLES["doc_fingerprints"] = """
+    SELECT doc_id,
+           CASE WHEN text IS NULL THEN NULL
+                WHEN length(text) = 0 THEN 0
+                ELSE h1 * 2147483648 + h2 END AS fingerprint,
+           lower(sha256(text)) AS sha256
+    FROM (
+      SELECT doc_id, text,
+        list_reduce(list_transform(str_split(text, ''), c -> ascii(c)),
+          (a, b) -> (a::BIGINT * 1000003 + b) % 2147483647) AS h1,
+        list_reduce(list_transform(str_split(text, ''), c -> ascii(c)),
+          (a, b) -> (a::BIGINT * 1000003 + b) % 536870909) AS h2
+      FROM documents)
+"""
