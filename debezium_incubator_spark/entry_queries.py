@@ -1796,3 +1796,62 @@ ORACLES["doc_fingerprints"] = """
           (a, b) -> (a::BIGINT * 1000003 + b) % 536870909) AS h2
       FROM documents)
 """
+
+
+def q_dedup_clusters(spark, sf):
+    """Round-5: transitive duplicate-CLUSTER assignment — the closure
+    step between pair detection and the deduplicated corpus. Edges are
+    absolute shingle overlap (>= 3 shared trigrams — the ratio-edge
+    detectors' graphs on this corpus are all cliques, so only this edge
+    set actually exercises multi-round closure: at sf0.01 it has 12
+    non-clique components incl. a 30-doc chain). Spark side iterates
+    min-label + pointer-jumping DataFrame rounds
+    (`functions/graph.py:connected_components`); the oracle closes the
+    same edge set with a recursive CTE and takes min reachable per node
+    — two entirely different fixpoint algorithms, same fixpoint."""
+    from debezium_incubator_spark.functions.dedup_text import shingle_overlap_pairs
+    from debezium_incubator_spark.functions.graph import dedup_clusters
+
+    docs = _docs(spark, sf)
+    pairs = shingle_overlap_pairs(docs, min_overlap=3)
+    return dedup_clusters(docs, pairs).select(
+        "doc_id", "cluster_id", "is_canonical"
+    )
+
+
+QUERIES["dedup_clusters"] = q_dedup_clusters
+
+# Recursive transitive closure over the same >=3-shared-shingles edge
+# set (shingle pipeline identical to ngram_jaccard_dups' oracle), then
+# cluster = min reachable node; docs in no edge are their own cluster.
+ORACLES["dedup_clusters"] = """
+    WITH RECURSIVE toks AS (
+      SELECT doc_id,
+             string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
+      FROM documents
+      WHERE length(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) > 0),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(t) - 1),
+                 i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS shingles
+      FROM toks WHERE len(t) >= 3),
+    inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM inv a JOIN inv b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+      HAVING count(*) >= 3),
+    sym AS (SELECT id_a AS u, id_b AS v FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+    reach(u, v) AS (
+      SELECT u, v FROM sym
+      UNION
+      SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+    comp AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+             FROM reach GROUP BY u)
+    SELECT d.doc_id,
+           coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+           (coalesce(c.cluster_id, d.doc_id) = d.doc_id) AS is_canonical
+    FROM documents d LEFT JOIN comp c USING (doc_id)
+"""

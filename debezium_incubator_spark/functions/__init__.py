@@ -8,6 +8,11 @@ from debezium_incubator_spark.functions.dedup_text import (  # noqa: F401
     ngram_jaccard_pairs,
     minhash_lsh_pairs,
     simhash_near_dups,
+    shingle_overlap_pairs,
+)
+from debezium_incubator_spark.functions.graph import (  # noqa: F401
+    connected_components,
+    dedup_clusters,
 )
 from debezium_incubator_spark.functions.similarity import (  # noqa: F401
     cosine_topk_bruteforce,

@@ -126,6 +126,96 @@ def _verify_jaccard(cands: DataFrame, sh: DataFrame, threshold: float) -> DataFr
     return out.select("id_a", "id_b", F.round("__j", 4).alias("jaccard"))
 
 
+def _capped_inverted_index(sh: DataFrame, df_cap: int | None) -> DataFrame:
+    """Explode shingle sets into the skinny (id, shingle) inverted index,
+    dropping shingles whose document frequency exceeds ``df_cap`` (the
+    100 TB boilerplate guard — see ``ngram_jaccard_pairs``). With a cap
+    the ``__df`` count rides along for the salted heavy-shingle split."""
+    inv = sh.select("id", F.explode("sh").alias("shingle"))
+    if df_cap is not None:
+        keep = (
+            inv.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= df_cap)
+        )
+        inv = inv.join(keep, "shingle")
+    return inv
+
+
+def _cooccurrence_counts(
+    inv: DataFrame, df_cap: int | None, skew_df_threshold: int, skew_salts: int
+) -> DataFrame:
+    """Per-pair shared-shingle counts from a (persisted) inverted index:
+    self-join on shingle → groupBy (id_a, id_b) count. Shingles with
+    df > ``skew_df_threshold`` take the salted self-join (left side
+    salted by hash(id), right side replicated per salt) so one hot
+    shingle's df² fan-out spreads over ``skew_salts`` tasks instead of
+    one reducer — see ``ngram_jaccard_pairs`` for the full rationale."""
+
+    def _pair_counts(idx, join_keys):
+        return (
+            idx.alias("a")
+            .join(idx.alias("b"), join_keys)
+            .filter(F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        )
+
+    if df_cap is not None and df_cap > skew_df_threshold:
+        light = inv.filter(F.col("__df") <= skew_df_threshold)
+        heavy = inv.filter(F.col("__df") > skew_df_threshold)
+        heavy_a = heavy.withColumn(
+            "__salt", F.pmod(F.xxhash64("id"), F.lit(skew_salts)).cast("int")
+        )
+        heavy_b = heavy.withColumn(
+            "__salt", F.explode(F.sequence(F.lit(0), F.lit(skew_salts - 1)))
+        )
+        heavy_pairs = (
+            heavy_a.alias("a")
+            .join(heavy_b.alias("b"), ["shingle", "__salt"])
+            .filter(F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        )
+        pair_rows = _pair_counts(light, ["shingle"]).unionByName(heavy_pairs)
+    else:
+        pair_rows = _pair_counts(inv, ["shingle"])
+    return pair_rows.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("inter"))
+
+
+def shingle_overlap_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_overlap: int = 3,
+    df_cap: int | None = 1000,
+    eager_cleanup: bool = True,
+    skew_df_threshold: int = 256,
+    skew_salts: int = 16,
+) -> DataFrame:
+    """(id_a, id_b, inter) pairs sharing ≥ ``min_overlap`` distinct
+    n-gram shingles — an ABSOLUTE-overlap edge generator, vs the RATIO
+    thresholds of Jaccard/MinHash.
+
+    Why it exists: ratio edges are bimodal on near-copy corpora (a pair
+    is either ~0.9 or ~0.02), so their duplicate graph is all cliques.
+    Absolute-overlap edges also connect documents that merely share a
+    boilerplate block (license header, template preamble) — a chain-y,
+    transitive relation that is what ``dedup_clusters`` (connected
+    components) exists to close over. Same machinery and skew handling
+    as ``ngram_jaccard_pairs``: inverted index, df-cap, salted heavy
+    shingles; only the final filter differs (inter ≥ k instead of a
+    Jaccard ratio)."""
+    from pyspark import StorageLevel
+
+    sh = _shingle_sets(df, id_col, text_col, n)
+    inv = _capped_inverted_index(sh, df_cap).persist(StorageLevel.MEMORY_AND_DISK)
+    co = _cooccurrence_counts(inv, df_cap, skew_df_threshold, skew_salts)
+    out = co.filter(F.col("inter") >= min_overlap).select("id_a", "id_b", "inter")
+    from debezium_incubator_spark.functions._cache import finalize
+
+    return finalize(out, [inv], eager_cleanup)
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -166,45 +256,11 @@ def ngram_jaccard_pairs(
 
     sh = _shingle_sets(df, id_col, text_col, n)
     sizes = sh.select("id", F.size("sh").alias("n_sh"))
-    inv = sh.select("id", F.explode("sh").alias("shingle"))
-    if df_cap is not None:
-        keep = (
-            inv.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("__df"))
-            .filter(F.col("__df") <= df_cap)
-        )
-        inv = inv.join(keep, "shingle")
+    inv = _capped_inverted_index(sh, df_cap)
     # the skinny (id, shingle) index feeds both sides of the self-join
     # (and the df-cap count) — persist so the tokenizer pipeline runs once
     inv = inv.persist(StorageLevel.MEMORY_AND_DISK)
-
-    def _pair_counts(idx, join_keys):
-        return (
-            idx.alias("a")
-            .join(idx.alias("b"), join_keys)
-            .filter(F.col("a.id") < F.col("b.id"))
-            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        )
-
-    if df_cap is not None and df_cap > skew_df_threshold:
-        light = inv.filter(F.col("__df") <= skew_df_threshold)
-        heavy = inv.filter(F.col("__df") > skew_df_threshold)
-        heavy_a = heavy.withColumn(
-            "__salt", F.pmod(F.xxhash64("id"), F.lit(skew_salts)).cast("int")
-        )
-        heavy_b = heavy.withColumn(
-            "__salt", F.explode(F.sequence(F.lit(0), F.lit(skew_salts - 1)))
-        )
-        heavy_pairs = (
-            heavy_a.alias("a")
-            .join(heavy_b.alias("b"), ["shingle", "__salt"])
-            .filter(F.col("a.id") < F.col("b.id"))
-            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        )
-        pair_rows = _pair_counts(light, ["shingle"]).unionByName(heavy_pairs)
-    else:
-        pair_rows = _pair_counts(inv, ["shingle"])
-    co = pair_rows.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("inter"))
+    co = _cooccurrence_counts(inv, df_cap, skew_df_threshold, skew_salts)
     out = (
         co.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
         .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
