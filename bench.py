@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "t11_envelope_assembly",
     "s7_ddl_parse",
     "exact_dedup",
+    "dedup_clusters",
     "minhash_lsh_dups",
     "ngram_jaccard_dups",
     "simhash_near_dups",
