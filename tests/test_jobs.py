@@ -87,6 +87,56 @@ def test_apply_job_batch_mode(job_fixtures, tmp_path):
     assert m["phase"] == "stream" and m["counters"]["events_in"] > 0
 
 
+def test_spark_submit_py_files_deployment(job_fixtures, tmp_path):
+    """North-rule deployment clause, run for real: the engine package
+    ships as a zip via ``spark-submit --py-files`` — no PYTHONPATH, no
+    repo dir on sys.path; every engine import must resolve from the
+    zip alone (the exact shape of a 1000-executor submit, minus the
+    cluster manager)."""
+    import shutil
+    import zipfile
+
+    spark_submit = shutil.which("spark-submit")
+    if spark_submit is None:
+        pytest.skip("spark-submit not on PATH")
+    zip_path = str(tmp_path / "engine.zip")
+    pkg = os.path.join(REPO, "debezium_incubator_spark")
+    with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as z:
+        for root, _dirs, files in os.walk(pkg):
+            if "__pycache__" in root:
+                continue
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, REPO))
+
+    d = job_fixtures
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env["PYSPARK_PYTHON"] = env["PYSPARK_DRIVER_PYTHON"] = sys.executable
+    out = subprocess.run(
+        [
+            spark_submit,
+            "--master", "local[2]",
+            "--conf", "spark.sql.shuffle.partitions=4",
+            "--conf", "spark.ui.enabled=false",
+            "--py-files", zip_path,
+            f"{REPO}/jobs/apply_job.py",
+            "--table", str(tmp_path / "t"),
+            "--checkpoint", str(tmp_path / "c"),
+            "--changelog", str(d / "changelog"),
+            "--source", str(d / "source"),
+            "--mode", "batch",
+            "--num-buckets", "4",
+            "--offsets-per-epoch", "2000",
+        ],
+        capture_output=True, text=True, timeout=420, env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+    m = json.loads(lines[-1])
+    assert m["phase"] == "stream" and m["counters"]["events_in"] > 0
+
+
 def test_split_ddl_script_drop_table_lookahead():
     """ADVICE r3: a line-initial DROP TABLE without a preceding ';' must
     open its own statement (it is unambiguous — no ALTER clause starts
