@@ -10,6 +10,9 @@ from debezium_incubator_spark.functions.dedup_text import (  # noqa: F401
     simhash_near_dups,
     shingle_overlap_pairs,
 )
+from debezium_incubator_spark.functions.dedup_incremental import (  # noqa: F401
+    IncrementalDedupIndex,
+)
 from debezium_incubator_spark.functions.graph import (  # noqa: F401
     connected_components,
     dedup_clusters,

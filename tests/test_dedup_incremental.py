@@ -1,0 +1,150 @@
+"""IncrementalDedupIndex: build/add/remove equivalence to the batch
+dedup path, cluster-graph merges, and the durable-state contract."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from debezium_incubator_spark.functions.dedup_incremental import IncrementalDedupIndex
+from debezium_incubator_spark.functions.dedup_text import (
+    ngram_jaccard_pairs,
+    shingle_overlap_pairs,
+)
+from debezium_incubator_spark.functions.graph import dedup_clusters
+
+SF = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _batch_overlap(docs, k):
+    pairs = shingle_overlap_pairs(docs, min_overlap=k, df_cap=None)
+    return dedup_clusters(docs, pairs)
+
+
+def test_build_matches_batch(spark, tmp_path):
+    docs = _docs(spark)
+    idx = IncrementalDedupIndex(spark, str(tmp_path / "ix"), min_overlap=3)
+    idx.build(docs)
+    assert _rows(idx.clusters()) == _rows(_batch_overlap(docs, 3))
+
+
+def test_incremental_matches_batch(spark, tmp_path):
+    """The headline contract: build(70%) + add(20%) + add(10%) over an
+    id-hash split equals one batch dedup of the full corpus — every
+    cross-split edge is recovered by the delta-vs-stored join and every
+    transitive merge by the cluster-graph closure."""
+    docs = _docs(spark)
+    part = F.pmod(F.xxhash64("doc_id", F.lit("incsplit")), F.lit(10))
+    idx = IncrementalDedupIndex(spark, str(tmp_path / "ix"), min_overlap=3)
+    idx.build(docs.filter(part < 7))
+    idx.add(docs.filter(part.isin(7, 8)))
+    idx.add(docs.filter(part == 9))
+    assert _rows(idx.clusters()) == _rows(_batch_overlap(docs, 3))
+    assert idx.version() == 3
+
+
+def test_threshold_mode_matches_batch(spark, tmp_path):
+    docs = _docs(spark)
+    part = F.pmod(F.xxhash64("doc_id", F.lit("jacsplit")), F.lit(4))
+    idx = IncrementalDedupIndex(spark, str(tmp_path / "ix"), threshold=0.7)
+    idx.build(docs.filter(part < 3))
+    idx.add(docs.filter(part == 3))
+    pairs = ngram_jaccard_pairs(docs, threshold=0.7, df_cap=None)
+    assert _rows(idx.clusters()) == _rows(dedup_clusters(docs, pairs))
+
+
+def test_bridging_doc_merges_old_clusters(spark, tmp_path):
+    """A delta doc similar to members of TWO pre-existing clusters must
+    merge them transitively — the mutation that skips the cluster-graph
+    closure (assigning the new doc to just one old cluster) fails here."""
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    a = (1, "alpha beta gamma delta epsilon zeta")
+    c = (3, "eta theta iota kappa lambda mu")
+    b = (2, "gamma delta epsilon zeta eta theta iota kappa")  # overlaps BOTH
+    idx = IncrementalDedupIndex(spark, str(tmp_path / "ix"), min_overlap=2)
+    idx.build(mk([a, c]))
+    before = {r["doc_id"]: r["cluster_id"] for r in idx.clusters().collect()}
+    assert before[1] != before[3]  # two singleton clusters
+    idx.add(mk([b]))
+    after = {r["doc_id"]: r["cluster_id"] for r in idx.clusters().collect()}
+    assert after[1] == after[2] == after[3] == 1
+
+
+def test_remove_moves_canonical_and_stops_edges(spark, tmp_path):
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    idx = IncrementalDedupIndex(spark, str(tmp_path / "ix"), min_overlap=2)
+    idx.build(
+        mk(
+            [
+                (1, "one two three four five six"),
+                (2, "one two three four five six seven"),
+                (7, "unrelated words entirely different content here"),
+            ]
+        )
+    )
+    idx.remove(mk([(1, "")]).select("doc_id"))
+    out = {r["doc_id"]: (r["cluster_id"], r["is_canonical"]) for r in idx.clusters().collect()}
+    assert 1 not in out
+    # cluster label stays stable; canonical moves to the min LIVE member
+    assert out[2] == (1, True)
+    assert out[7] == (7, True)
+    # the tombstoned doc's index rows make no NEW edges
+    idx.add(mk([(9, "one two three four five six")]))
+    out2 = {r["doc_id"]: r["cluster_id"] for r in idx.clusters().collect()}
+    assert out2[9] == 1  # still joins via doc 2's rows
+    idx2 = IncrementalDedupIndex(spark, str(tmp_path / "ix2"), min_overlap=2)
+    idx2.build(mk([(1, "one two three four five six")]))
+    idx2.remove(mk([(1, "")]).select("doc_id"))
+    idx2.add(mk([(9, "one two three four five six")]))
+    out3 = {r["doc_id"]: r["cluster_id"] for r in idx2.clusters().collect()}
+    assert out3 == {9: 9}  # sole similar doc was tombstoned → singleton
+
+
+def test_contract_guards(spark, tmp_path):
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    p = str(tmp_path / "ix")
+    with pytest.raises(ValueError):
+        IncrementalDedupIndex(spark, p)  # neither criterion
+    with pytest.raises(ValueError):
+        IncrementalDedupIndex(spark, p, min_overlap=2, threshold=0.5)  # both
+    idx = IncrementalDedupIndex(spark, p, min_overlap=2)
+    with pytest.raises(RuntimeError):
+        idx.clusters()  # no committed state
+    idx.build(mk([(1, "a b c d"), (2, "a b c d e")]))
+    with pytest.raises(RuntimeError):
+        idx.build(mk([(3, "x")]))  # build on non-empty
+    with pytest.raises(ValueError):
+        idx.add(mk([(2, "changed text")]))  # duplicate id, strict default
+    with pytest.raises(ValueError):  # param mismatch vs stored manifest
+        IncrementalDedupIndex(spark, p, min_overlap=3)._manifest()
+
+
+def test_crash_leaves_previous_version_readable(spark, tmp_path):
+    """Commit-then-pointer: state dirs written by a failed add are
+    unreferenced; the previous version stays fully readable."""
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    p = str(tmp_path / "ix")
+    idx = IncrementalDedupIndex(spark, p, min_overlap=2)
+    idx.build(mk([(1, "a b c d"), (2, "a b c d e")]))
+    before = _rows(idx.clusters())
+    # simulate a crash mid-add: orphan state dirs exist, pointer untouched
+    os.makedirs(os.path.join(p, "inv_batch_2"), exist_ok=True)
+    with open(os.path.join(p, "inv_batch_2", "junk"), "w") as f:
+        f.write("partial write")
+    assert idx.version() == 1
+    assert _rows(idx.clusters()) == before
+    with open(os.path.join(p, "v1.json")) as f:
+        m = json.load(f)
+    assert "inv_batch_2" not in m["inv"]
+    idx.add(mk([(3, "a b c d e f")]))  # the retry simply takes version 2
+    assert idx.version() == 2
+    assert {r["doc_id"] for r in idx.clusters().collect()} == {1, 2, 3}
