@@ -151,6 +151,37 @@ def main():
         ],
     ))
 
+    # 6. incremental dedup: the add path's edge generation — the
+    # delta probes the STORED index (a bare parquet scan, never a
+    # re-derivation of old shingles) through equality joins on the
+    # shingle hash; no cartesian anywhere
+    from debezium_incubator_spark.functions.dedup_incremental import (
+        IncrementalDedupIndex,
+    )
+
+    ix = IncrementalDedupIndex(spark, f"{base}/ix", min_overlap=2)
+    ix.build(docs)
+    delta = spark.createDataFrame(
+        [(100 + i, f"some text body {i} with words") for i in range(5)],
+        "doc_id long, text string",
+    )
+    inv_d, sizes_d = ix._delta_state(delta)
+    man = ix._manifest()
+    pr = ix._pair_rows(inv_d, ix._read(man["inv"]), self_join=False).unionByName(
+        ix._pair_rows(inv_d, inv_d, self_join=True)
+    )
+    p6 = plan_of(ix._edges(pr, sizes_d))
+    sections.append((
+        "Incremental dedup add: delta-vs-stored edge generation",
+        p6,
+        [
+            ("no cartesian/nested-loop product anywhere in the plan",
+             r"^(?:(?!CartesianProduct|BroadcastNestedLoop)(.|\n))*$"),
+            ("stored index side is a bare parquet scan (no re-shingling)",
+             r"Scan parquet"),
+        ],
+    ))
+
     out = ["# PLANS — physical-plan audit (generated by scripts/explain_audit.py)\n"]
     for title, plan, checks in sections:
         out.append(f"\n## {title}\n")
