@@ -1043,16 +1043,21 @@ def _ann_lsh_sql(dim: int = 64, n_planes: int = 8, n_tables: int = 2, seed: int 
 ORACLES["ann_lsh_topk"] = _ann_lsh_sql()
 
 
-def _ann_ivf_sql(n_centroids: int = 16, n_probe: int = 4, k: int = 5) -> str:
+def _ann_ivf_sql(
+    n_centroids: int = 16, n_probe: int = 4, k: int = 5, centroid_where: str = ""
+) -> str:
     """IVF replicated end to end: centroids = the n rows with the
     smallest md5(vec_id) (same deterministic hash-sample as
     _centroid_row), cid = row_number in that order; assignment/probes
-    tie-break (sim DESC, cid DESC), final re-rank (sim DESC, id ASC)."""
+    tie-break (sim DESC, cid DESC), final re-rank (sim DESC, id ASC).
+    ``centroid_where`` restricts the centroid SOURCE rows (the durable
+    IVFIndex trains on its build subset only) — assignment and search
+    still cover the full corpus."""
     return f"""
         WITH cent AS (
           SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR)) - 1 AS cid,
                  embedding::DOUBLE[] AS v
-          FROM embeddings ORDER BY md5(vec_id::VARCHAR) LIMIT {n_centroids}),
+          FROM embeddings {centroid_where} ORDER BY md5(vec_id::VARCHAR) LIMIT {n_centroids}),
         c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
         q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
               FROM embeddings WHERE vec_id < 10),
@@ -1091,6 +1096,39 @@ def _ann_ivf_sql(n_centroids: int = 16, n_probe: int = 4, k: int = 5) -> str:
 
 
 ORACLES["ann_ivf_topk"] = _ann_ivf_sql()
+
+
+def q_ann_ivf_index_topk(spark, sf):
+    """Round-5: the DURABLE IVF index (`functions/ann_index.py`) grown
+    incrementally — build on 70% of the corpus (centroids train there
+    and freeze), add the remaining 30% against the frozen centroids,
+    then search. The search collects only the bounded probed-cid set to
+    the driver and reads the inverted lists with a static partition
+    filter (pruning asserted in tests/test_ann_index.py and
+    scripts/explain_audit.py). The oracle recomputes IVF in DuckDB with
+    the centroid SOURCE restricted to the build subset — green means
+    the frozen-centroid append semantics, the partitioned list storage,
+    and the pruned search all compose to the exact IVF answer."""
+    import tempfile
+
+    from debezium_incubator_spark.functions.ann_index import IVFIndex
+
+    emb = _emb(spark, sf).withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    idx = IVFIndex(
+        spark, tempfile.mkdtemp(prefix="ivf_idx_"), init="hash_sample"
+    )
+    idx.build(emb.filter(F.col("vec_id") % 10 < 7))
+    idx.add(emb.filter(F.col("vec_id") % 10 >= 7), strict=False)
+    return idx.search(emb.filter(F.col("vec_id") < 10), k=5)
+
+
+QUERIES["ann_ivf_index_topk"] = q_ann_ivf_index_topk
+
+ORACLES["ann_ivf_index_topk"] = _ann_ivf_sql(
+    centroid_where="WHERE vec_id % 10 < 7"
+)
 
 
 def _multimodal_sql(feature_dim: int = 32) -> str:

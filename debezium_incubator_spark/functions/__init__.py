@@ -10,6 +10,7 @@ from debezium_incubator_spark.functions.dedup_text import (  # noqa: F401
     simhash_near_dups,
     shingle_overlap_pairs,
 )
+from debezium_incubator_spark.functions.ann_index import IVFIndex  # noqa: F401
 from debezium_incubator_spark.functions.dedup_incremental import (  # noqa: F401
     IncrementalDedupIndex,
 )

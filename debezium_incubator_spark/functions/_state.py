@@ -1,0 +1,74 @@
+"""Commit-then-pointer versioned state for durable operator indexes.
+
+Shared by `dedup_incremental.IncrementalDedupIndex` and
+`ann_index.IVFIndex`: every mutation writes new state dirs plus a
+manifest ``v{N}.json``, then atomically swings the ``_VERSION`` pointer
+(`lake/checkpoint.py:_atomic_write` — the same invariant as the lake's
+manifest/VERSION commit). A crash mid-mutation leaves the previous
+version fully readable; the failed attempt's dirs are unreferenced and
+a retry simply takes the next version number (overwriting them).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+from debezium_incubator_spark.lake.checkpoint import _atomic_write
+
+_VERSION_FILE = "_VERSION"
+
+
+class VersionedState:
+    def __init__(self, spark: SparkSession, path: str, params: dict):
+        self.spark = spark
+        self.path = path
+        self.params = params
+        os.makedirs(path, exist_ok=True)
+
+    def version(self) -> int:
+        vf = os.path.join(self.path, _VERSION_FILE)
+        if not os.path.exists(vf):
+            return 0
+        with open(vf) as f:
+            return json.load(f)["version"]
+
+    def manifest(self) -> dict:
+        """Current manifest; raises on empty state, and on a param
+        mismatch between the stored index and the caller's constructor
+        arguments (an index answers queries ONLY under the parameters
+        it was built with)."""
+        v = self.version()
+        if v == 0:
+            raise RuntimeError(f"index at {self.path} has no committed state")
+        with open(os.path.join(self.path, f"v{v}.json")) as f:
+            m = json.load(f)
+        for k, want in self.params.items():
+            if m["params"].get(k) != want:
+                raise ValueError(
+                    f"index param mismatch for {k}: stored {m['params'].get(k)!r}"
+                    f" vs requested {want!r}"
+                )
+        return m
+
+    def commit(self, manifest: dict) -> int:
+        v = self.version() + 1
+        manifest["params"] = self.params
+        manifest["committed_at"] = time.time()
+        _atomic_write(os.path.join(self.path, f"v{v}.json"), json.dumps(manifest))
+        _atomic_write(
+            os.path.join(self.path, _VERSION_FILE), json.dumps({"version": v})
+        )
+        return v
+
+    def read(self, dirs: list[str]) -> DataFrame:
+        return self.spark.read.parquet(*[os.path.join(self.path, d) for d in dirs])
+
+    def write(self, df: DataFrame, rel: str, partition_by: str | None = None) -> None:
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(partition_by)
+        w.parquet(os.path.join(self.path, rel))

@@ -57,18 +57,12 @@ capped runs can differ from batch; cap-free runs are exactly equal.
 
 from __future__ import annotations
 
-import json
-import os
-import time
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from debezium_incubator_spark.functions._state import VersionedState
 from debezium_incubator_spark.functions.dedup_text import _shingle_sets
 from debezium_incubator_spark.functions.graph import connected_components
-from debezium_incubator_spark.lake.checkpoint import _atomic_write
-
-_VERSION_FILE = "_VERSION"
 
 
 class IncrementalDedupIndex:
@@ -107,43 +101,25 @@ class IncrementalDedupIndex:
             "threshold": threshold,
             "df_cap": df_cap,
         }
-        os.makedirs(path, exist_ok=True)
+        self._st = VersionedState(spark, path, self.params)
 
     # ------------------------------------------------------------ state io
+    # (delegated to VersionedState — commit-then-pointer, see _state.py)
 
     def version(self) -> int:
-        vf = os.path.join(self.path, _VERSION_FILE)
-        if not os.path.exists(vf):
-            return 0
-        with open(vf) as f:
-            return json.load(f)["version"]
+        return self._st.version()
 
     def _manifest(self) -> dict:
-        v = self.version()
-        if v == 0:
-            raise RuntimeError(f"index at {self.path} has no committed state")
-        with open(os.path.join(self.path, f"v{v}.json")) as f:
-            m = json.load(f)
-        for k, want in self.params.items():
-            if m["params"].get(k) != want:
-                raise ValueError(
-                    f"index param mismatch for {k}: stored {m['params'].get(k)!r}"
-                    f" vs requested {want!r}"
-                )
-        return m
+        return self._st.manifest()
 
     def _commit(self, manifest: dict) -> int:
-        v = self.version() + 1
-        manifest["params"] = self.params
-        manifest["committed_at"] = time.time()
-        _atomic_write(os.path.join(self.path, f"v{v}.json"), json.dumps(manifest))
-        _atomic_write(
-            os.path.join(self.path, _VERSION_FILE), json.dumps({"version": v})
-        )
-        return v
+        return self._st.commit(manifest)
 
     def _read(self, dirs: list[str]) -> DataFrame:
-        return self.spark.read.parquet(*[os.path.join(self.path, d) for d in dirs])
+        return self._st.read(dirs)
+
+    def _write(self, df: DataFrame, rel: str) -> None:
+        self._st.write(df, rel)
 
     # ------------------------------------------------------------ shingling
 
@@ -385,6 +361,3 @@ class IncrementalDedupIndex:
             F.col("cluster").alias("cluster_id"),
             (F.col("id") == live_min).alias("is_canonical"),
         )
-
-    def _write(self, df: DataFrame, rel: str) -> None:
-        df.write.mode("overwrite").parquet(os.path.join(self.path, rel))

@@ -182,6 +182,28 @@ def main():
         ],
     ))
 
+    # 7. durable IVF index: search reads ONLY probed list partitions —
+    # the scan must carry a static cid IN (...) partition filter
+    from debezium_incubator_spark.functions.ann_index import IVFIndex
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7 + j * 3) % 11) - 5.0 for j in range(8)]) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    ivx = IVFIndex(spark, f"{base}/ivf", init="hash_sample", n_centroids=8)
+    ivx.build(emb)
+    p7 = plan_of(ivx.search(emb.filter(F.col("vec_id") < 3), k=3, n_probe=2))
+    sections.append((
+        "Durable IVF index search (partition-pruned list read)",
+        p7,
+        [
+            ("probed-cid set pushed as a static partition filter",
+             r"PartitionFilters: \[cid#\d+ IN \("),
+            ("no cartesian on the list join (centroids ride a broadcast row)",
+             r"^(?:(?!CartesianProduct)(.|\n))*$"),
+        ],
+    ))
+
     out = ["# PLANS — physical-plan audit (generated by scripts/explain_audit.py)\n"]
     for title, plan, checks in sections:
         out.append(f"\n## {title}\n")

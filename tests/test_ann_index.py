@@ -1,0 +1,120 @@
+"""IVFIndex: durable inverted-file ANN — one-shot equivalence to
+ivf_topk, incremental append, partition-pruned search, tombstones."""
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from debezium_incubator_spark.functions.ann_index import IVFIndex
+from debezium_incubator_spark.functions.similarity import ivf_topk
+
+SF = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.mark.parametrize("init", ["hash_sample", "kmeans"])
+def test_one_shot_build_matches_ivf_topk(spark, tmp_path, init):
+    """A freshly-built index answers exactly like the one-shot operator
+    (same centroid derivation, assignment tie-break, rerank order) —
+    the storage/pruning layer adds no drift."""
+    emb = _emb(spark)
+    queries = emb.filter(F.col("vec_id") < 10)
+    idx = IVFIndex(spark, str(tmp_path / "ix"), init=init)
+    idx.build(emb)
+    assert _rows(idx.search(queries, k=5)) == _rows(
+        ivf_topk(emb, queries, k=5, init=init)
+    )
+
+
+def test_incremental_add_matches_frozen_centroid_recompute(spark, tmp_path):
+    """build(70%)+add(30%) must equal an INDEPENDENT numpy recompute of
+    IVF over the same frozen centroids (assignment argmax with the
+    max-sim/max-cid tie-break, n_probe lists, exact rerank) — the
+    storage path (partitioned lists across two batches) adds no drift."""
+    import numpy as np
+
+    emb = _emb(spark)
+    n_probe, k = 4, 5
+    idx = IVFIndex(spark, str(tmp_path / "ix"), init="hash_sample", n_probe=n_probe)
+    idx.build(emb.filter(F.col("vec_id") % 10 < 7))
+    idx.add(emb.filter(F.col("vec_id") % 10 >= 7))
+    queries = emb.filter(F.col("vec_id") < 10)
+    got = _rows(idx.search(queries, k=k))
+
+    cents = sorted(
+        ((r["cid"], np.array(r["vec"])) for r in idx.centroids().collect())
+    )
+    C = np.array([v / max(np.linalg.norm(v), 1e-12) for _, v in cents])
+    rows = [(r["vec_id"], np.array(r["embedding"])) for r in emb.collect()]
+    V = {i: v / max(np.linalg.norm(v), 1e-12) for i, v in rows}
+
+    def assign(v):
+        sims = np.round(C @ v, 9)
+        best = max(range(len(sims)), key=lambda i: (sims[i], i))  # max sim, max cid
+        return best
+
+    cid_of = {i: assign(v) for i, v in V.items()}
+    exp = []
+    for qid, _ in rows:
+        if qid >= 10:
+            continue
+        qv = V[qid]
+        sims = np.round(C @ qv, 9)
+        probe = sorted(range(len(sims)), key=lambda i: (-sims[i], -i))[:n_probe]
+        cand = [
+            (nid, float(np.dot(V[nid], qv)))
+            for nid in V
+            if nid != qid and cid_of[nid] in probe
+        ]
+        cand.sort(key=lambda t: (-t[1], t[0]))
+        for rank, (nid, s) in enumerate(cand[:k], 1):
+            exp.append((qid, nid, rank, round(s, 4)))
+    assert got == sorted(exp)
+
+
+def test_search_prunes_unprobed_partitions(spark, tmp_path):
+    emb = _emb(spark)
+    idx = IVFIndex(spark, str(tmp_path / "ix"), init="hash_sample")
+    idx.build(emb)
+    r = idx.search(emb.filter(F.col("vec_id") < 3), k=3, n_probe=2)
+    plan = r._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    # the lists scan must carry a static IN partition filter (cid#<id>
+    # IN (...)) — and it must be selective: ≤ n_queries × n_probe cids
+    m = re.search(r"PartitionFilters: \[cid#\d+ IN \(([^)]*)\)", plan)
+    assert m is not None, plan[:2000]
+    assert len(m.group(1).split(",")) <= 6
+
+
+def test_remove_and_guards(spark, tmp_path):
+    emb = _emb(spark)
+    queries = emb.filter(F.col("vec_id") < 5)
+    p = str(tmp_path / "ix")
+    idx = IVFIndex(spark, p, init="hash_sample")
+    with pytest.raises(RuntimeError):
+        idx.search(queries)  # no state
+    idx.build(emb)
+    with pytest.raises(RuntimeError):
+        idx.build(emb)  # build on non-empty
+    with pytest.raises(ValueError):
+        idx.add(emb.limit(3))  # duplicate ids, strict default
+    before = {(r["query_id"], r["rank"]): r["neighbor_id"]
+              for r in idx.search(queries, k=3).collect()}
+    victim = next(iter(before.values()))
+    idx.remove(emb.filter(F.col("vec_id") == victim).select("vec_id"))
+    after = idx.search(queries, k=3)
+    assert after.filter(F.col("neighbor_id") == victim).count() == 0
+    with pytest.raises(ValueError):  # param mismatch vs stored manifest
+        IVFIndex(spark, p, n_centroids=32)._st.manifest()
