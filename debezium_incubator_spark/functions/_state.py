@@ -14,10 +14,12 @@ from __future__ import annotations
 import json
 import os
 import time
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 
 from debezium_incubator_spark.lake.checkpoint import _atomic_write
+from debezium_incubator_spark.lake.table import ConcurrentWriteError
 
 _VERSION_FILE = "_VERSION"
 
@@ -28,6 +30,29 @@ class VersionedState:
         self.path = path
         self.params = params
         os.makedirs(path, exist_ok=True)
+
+    @contextmanager
+    def mutate(self):
+        """Single-writer exclusion for a whole mutation (state writes +
+        manifest + pointer), via the same kernel flock discipline as
+        `lake/table.py:_writer_lock` (never-unlinked LOCK file — the
+        unlink+recreate flock hazard). Without it two concurrent add()s
+        would compute the same version, overwrite each other's state
+        dirs mid-write, and race the pointer (lost update)."""
+        import fcntl
+
+        lock = os.path.join(self.path, "_LOCK")
+        fd = os.open(lock, os.O_CREAT | os.O_RDWR)
+        try:
+            try:
+                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            except OSError:
+                raise ConcurrentWriteError(f"another writer holds {lock}")
+            os.ftruncate(fd, 0)
+            os.write(fd, str(os.getpid()).encode())
+            yield
+        finally:
+            os.close(fd)
 
     def version(self) -> int:
         vf = os.path.join(self.path, _VERSION_FILE)

@@ -52,8 +52,9 @@ class IVFIndex:
     """State layout (under ``path``):
       ``centroids/``       (cid, vec)            frozen at build
       ``lists_batch_{n}/`` cid=*/ (neighbor_id, c_vec)  partitioned
-      ``tombstones_v{n}/`` (id)
+      ``tombstones_v{n}/`` (neighbor_id, as_of)  version-stamped
       ``v{n}.json`` + ``_VERSION``               manifest + pointer
+                                                 (+ per-batch n_indexed)
     """
 
     def __init__(
@@ -87,35 +88,45 @@ class IVFIndex:
 
     def build(self, corpus: DataFrame) -> int:
         """Train centroids on ``corpus`` and index it."""
-        if self._st.version() != 0:
-            raise RuntimeError("build() on a non-empty index; use add()")
-        init, iters, sample = self._init
-        cent = _centroid_row(
-            corpus, self.id_col, self.vec_col,
-            self.params["n_centroids"], init, iters, sample,
-        )
-        self._st.write(
-            cent.select(F.explode("__cents").alias("c")).select("c.cid", "c.vec"),
-            "centroids",
-        )
-        return self._append(corpus, {"lists": [], "tombstones": []})
+        with self._st.mutate():
+            if self._st.version() != 0:
+                raise RuntimeError("build() on a non-empty index; use add()")
+            init, iters, sample = self._init
+            cent = _centroid_row(
+                corpus, self.id_col, self.vec_col,
+                self.params["n_centroids"], init, iters, sample,
+            )
+            self._st.write(
+                cent.select(F.explode("__cents").alias("c")).select("c.cid", "c.vec"),
+                "centroids",
+            )
+            return self._append(corpus, {"lists": [], "tombstones": []})
 
     def add(self, vectors: DataFrame, strict: bool = True) -> int:
         """Append a delta batch, assigned to the frozen centroids. Ids
-        must be new (append-only; ``strict`` spends one count to check —
-        column-pruned to ids, but it does read every list batch)."""
-        m = self._st.manifest()
-        if strict:
-            dup = (
-                vectors.select(F.col(self.id_col).alias("neighbor_id"))
-                .join(self._lists(m).select("neighbor_id"), "neighbor_id", "left_semi")
-                .count()
-            )
-            if dup:
-                raise ValueError(
-                    f"add(): {dup} ids already indexed (append-only contract)"
+        must be new OR previously removed — a re-add under the same id
+        is the updated-vector flow (its rows land in a batch past the
+        tombstone's as_of stamp, so they stay visible; review r5-4 #1).
+        ``strict`` spends one count to check — column-pruned to ids,
+        but it does read every list batch."""
+        with self._st.mutate():
+            m = self._st.manifest()
+            if strict:
+                dup = (
+                    vectors.select(F.col(self.id_col).alias("neighbor_id"))
+                    .join(
+                        self._lists(m).select("neighbor_id"),
+                        "neighbor_id",
+                        "left_semi",
+                    )
+                    .count()
                 )
-        return self._append(vectors, m)
+                if dup:
+                    raise ValueError(
+                        f"add(): {dup} ids already indexed (append-only "
+                        "contract; remove() first to replace a vector)"
+                    )
+            return self._append(vectors, m)
 
     def _append(self, vectors: DataFrame, manifest: dict) -> int:
         vnew = self._st.version() + 1
@@ -123,17 +134,27 @@ class IVFIndex:
         assigned = self._assign(vectors)
         self._st.write(assigned, rel, partition_by="cid")
         manifest["lists"] = manifest.get("lists", []) + [rel]
+        # footer-only count of what was just written — the operator's
+        # retrain signal (appended mass vs build mass, see module doc)
+        manifest.setdefault("n_indexed", {})[rel] = self._st.read([rel]).count()
         return self._st.commit(manifest)
 
     def remove(self, ids: DataFrame) -> int:
-        m = self._st.manifest()
-        vnew = self._st.version() + 1
-        rel = f"tombstones_v{vnew}"
-        self._st.write(
-            ids.select(F.col(self.id_col).alias("neighbor_id")).distinct(), rel
-        )
-        m["tombstones"] = m.get("tombstones", []) + [rel]
-        return self._st.commit(m)
+        """Tombstone vectors out of every later search. The stamp
+        suppresses only list batches ≤ the current version, so a later
+        add() of the same id (vector update) stays visible."""
+        with self._st.mutate():
+            m = self._st.manifest()
+            vnew = self._st.version() + 1
+            rel = f"tombstones_v{vnew}"
+            self._st.write(
+                ids.select(F.col(self.id_col).alias("neighbor_id"))
+                .distinct()
+                .withColumn("as_of", F.lit(self._st.version())),
+                rel,
+            )
+            m["tombstones"] = m.get("tombstones", []) + [rel]
+            return self._st.commit(m)
 
     # ------------------------------------------------------------ read
 
@@ -166,14 +187,22 @@ class IVFIndex:
     def _lists(self, manifest: dict) -> DataFrame:
         # each batch dir is its own cid-partitioned tree — Spark refuses
         # a single multi-root partitioned read, so union per-dir scans
-        # (partition pruning applies to each scan independently)
-        parts = [self._st.read([d]) for d in manifest["lists"]]
+        # (partition pruning applies to each scan independently). A
+        # tombstone suppresses a vector only in batches ≤ its as_of
+        # stamp: a re-added id's newer batch stays live.
+        tds = manifest.get("tombstones", [])
+        ts = self._st.read(tds) if tds else None
+        parts = []
+        for d in manifest["lists"]:
+            v = int(d.rsplit("_", 1)[1])
+            p = self._st.read([d])
+            if ts is not None:
+                dead = ts.filter(F.col("as_of") >= v).select("neighbor_id")
+                p = p.join(F.broadcast(dead), "neighbor_id", "left_anti")
+            parts.append(p)
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p)
-        tds = manifest.get("tombstones", [])
-        if tds:
-            df = df.join(F.broadcast(self._st.read(tds)), "neighbor_id", "left_anti")
         return df
 
     def centroids(self) -> DataFrame:
@@ -215,6 +244,12 @@ class IVFIndex:
             )
             .drop("__cents")
         )
+        # materialize probes ONCE: the collect below and the lists join
+        # are two separate actions — without this the query-side pipeline
+        # would run twice, and a nondeterministic queries DataFrame could
+        # probe a cid missing from the collected partition filter,
+        # silently dropping candidates (review r5-4 #3)
+        probes = probes.localCheckpoint(eager=True)
         # bounded driver collect: ≤ n_centroids ints, never vector data —
         # this is what turns the scan into a partition-pruned read
         probed_cids = [

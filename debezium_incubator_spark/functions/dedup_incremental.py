@@ -42,10 +42,13 @@ min id, so the min over merged labels is the merged cluster's min id).
 Proven in tests/test_dedup_incremental.py against the batch path.
 
 Scope: append-only corpora (the training-data case). `remove(ids)`
-tombstones documents — they leave `clusters()` and stop forming NEW
-edges (their index rows are anti-joined away at candidate time), but
-edges they already contributed persist, exactly like a dedup service
-that never re-splits a cluster on member deletion.
+purges documents from the clusters table and stops their already-
+indexed rows from forming NEW edges (version-stamped tombstones: rows
+in batches ≤ the remove's ``as_of`` are anti-joined away at candidate
+time), but edges they already contributed persist, exactly like a
+dedup service that never re-splits a cluster on member deletion. An
+updated document is `remove()` then `add()` under the SAME id — the
+re-add's rows land in a batch past the stamp and live normally.
 
 df_cap note: with a cap, a shingle's document frequency is evaluated
 against the frequency AT ADD TIME (stored ``dfs`` + the delta's own
@@ -73,7 +76,8 @@ class IncrementalDedupIndex:
       ``sizes_batch_{n}/`` (id, n_sh)     distinct-shingle counts
       ``clusters_v{n}/``   (id, cluster)  full assignment, rewritten
       ``dfs_v{n}/``        (h, df)        shingle document frequency
-                                          (kept only when df_cap set)
+                                          (maintained incrementally:
+                                          df_cap + heavy-shingle salting)
       ``v{n}.json``        manifest: file lists + params + tombstones
       ``_VERSION``         atomic pointer {"version": n}
     """
@@ -88,6 +92,8 @@ class IncrementalDedupIndex:
         min_overlap: int | None = None,
         threshold: float | None = None,
         df_cap: int | None = None,
+        skew_df_threshold: int = 256,
+        skew_salts: int = 16,
     ):
         if (min_overlap is None) == (threshold is None):
             raise ValueError("set exactly one of min_overlap / threshold")
@@ -101,6 +107,9 @@ class IncrementalDedupIndex:
             "threshold": threshold,
             "df_cap": df_cap,
         }
+        # perf knobs, not semantics — excluded from the manifest check
+        self.skew_df_threshold = skew_df_threshold
+        self.skew_salts = skew_salts
         self._st = VersionedState(spark, path, self.params)
 
     # ------------------------------------------------------------ state io
@@ -123,16 +132,24 @@ class IncrementalDedupIndex:
 
     # ------------------------------------------------------------ shingling
 
-    def _delta_state(self, docs: DataFrame) -> tuple[DataFrame, DataFrame]:
-        """(id, h) exploded hashes + (id, n_sh) sizes for a batch —
-        the only place raw text is touched; O(delta)."""
-        sh = _shingle_sets(docs, self.id_col, self.text_col, self.params["shingle_n"])
+    def _delta_state(self, docs: DataFrame):
+        """(id, h) exploded hashes + (id, n_sh) sizes for a batch — the
+        only place raw text is touched. The shingle sets are PERSISTED
+        (returned third, caller unpersists after the state writes):
+        inv and sizes are written as two separate actions, and without
+        the persist each would re-run the tokenize+zip_with pipeline
+        (review r5-4 #5 — the module's 'shingled once' contract)."""
+        from pyspark import StorageLevel
+
+        sh = _shingle_sets(
+            docs, self.id_col, self.text_col, self.params["shingle_n"]
+        ).persist(StorageLevel.MEMORY_AND_DISK)
         inv = sh.select(
             "id",
             F.explode(F.transform("sh", lambda s: F.xxhash64(s))).alias("h"),
         )
         sizes = sh.select("id", F.size("sh").alias("n_sh"))
-        return inv, sizes
+        return inv, sizes, sh
 
     # ------------------------------------------------------------ edges
 
@@ -159,21 +176,55 @@ class IncrementalDedupIndex:
             .select("id_a", "id_b")
         )
 
-    @staticmethod
-    def _pair_rows(left_inv: DataFrame, right_inv: DataFrame, self_join: bool) -> DataFrame:
+    def _pair_rows(
+        self,
+        left_inv: DataFrame,
+        right_inv: DataFrame,
+        self_join: bool,
+        heavy: DataFrame | None = None,
+    ) -> DataFrame:
         """Ordered co-occurrence rows, one per shared shingle per pair.
         A self-join sees every unordered pair TWICE (a,b)+(b,a) → keep
         the `<` orientation only; a delta-vs-stored join sees it once
         with fixed sides (delta left) → order with least/greatest, else
-        half the pairs (new id > old id) would be dropped."""
-        j = left_inv.alias("a").join(right_inv.alias("b"), "h")
-        if self_join:
-            return j.filter(F.col("a.id") < F.col("b.id")).select(
-                F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+        half the pairs (new id > old id) would be dropped.
+
+        ``heavy`` is the (h) set of shingle hashes whose maintained df
+        exceeds ``skew_df_threshold``: those take the salted join (left
+        salted by hash(id), right replicated per salt) so one
+        boilerplate shingle's df² fan-out spreads over ``skew_salts``
+        tasks instead of one reducer — the same hot-key fix the batch
+        operators carry (dedup_text._cooccurrence_counts; review
+        r5-4 #6). Coverage is exact: each shared-h pair meets on
+        exactly one salt (the left row's)."""
+
+        def ordered(j):
+            if self_join:
+                return j.filter(F.col("a.id") < F.col("b.id")).select(
+                    F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+                )
+            return j.filter(F.col("a.id") != F.col("b.id")).select(
+                F.least("a.id", "b.id").alias("id_a"),
+                F.greatest("a.id", "b.id").alias("id_b"),
             )
-        return j.filter(F.col("a.id") != F.col("b.id")).select(
-            F.least("a.id", "b.id").alias("id_a"),
-            F.greatest("a.id", "b.id").alias("id_b"),
+
+        if heavy is None:
+            return ordered(left_inv.alias("a").join(right_inv.alias("b"), "h"))
+        hb = F.broadcast(heavy.select("h"))
+        light = ordered(
+            left_inv.join(hb, "h", "left_anti")
+            .alias("a")
+            .join(right_inv.join(hb, "h", "left_anti").alias("b"), "h")
+        )
+        salts = self.skew_salts
+        sa = left_inv.join(hb, "h", "left_semi").withColumn(
+            "__salt", F.pmod(F.xxhash64("id"), F.lit(salts)).cast("int")
+        )
+        sb = right_inv.join(hb, "h", "left_semi").withColumn(
+            "__salt", F.explode(F.sequence(F.lit(0), F.lit(salts - 1)))
+        )
+        return light.unionByName(
+            ordered(sa.alias("a").join(sb.alias("b"), ["h", "__salt"]))
         )
 
     def _cap_filter(self, inv: DataFrame, dfs: DataFrame | None) -> DataFrame:
@@ -192,9 +243,10 @@ class IncrementalDedupIndex:
         """Index + cluster an initial corpus. Semantics == the batch
         `shingle_overlap_pairs`/`ngram_jaccard_pairs` → `dedup_clusters`
         composition (cap-free case exactly; see df_cap note)."""
-        if self.version() != 0:
-            raise RuntimeError("build() on a non-empty index; use add()")
-        return self._apply(docs, initial=True)
+        with self._st.mutate():
+            if self.version() != 0:
+                raise RuntimeError("build() on a non-empty index; use add()")
+            return self._apply(docs, initial=True)
 
     def add(self, docs: DataFrame, strict: bool = True) -> int:
         """Ingest a delta batch: new docs join existing clusters, and a
@@ -205,19 +257,20 @@ class IncrementalDedupIndex:
         remove() + add() under a fresh id). ``strict`` spends one scalar
         count to enforce that; pass False to skip the action when the
         caller guarantees it (e.g. monotone CDC offsets as ids)."""
-        if strict:
-            m = self._manifest()
-            dup = (
-                docs.select(F.col(self.id_col).alias("id"))
-                .join(self._read([m["clusters"]]), "id", "left_semi")
-                .count()
-            )
-            if dup:
-                raise ValueError(
-                    f"add(): {dup} ids already indexed (append-only contract; "
-                    "remove() first or use a fresh id)"
+        with self._st.mutate():
+            if strict:
+                m = self._manifest()
+                dup = (
+                    docs.select(F.col(self.id_col).alias("id"))
+                    .join(self._read([m["clusters"]]), "id", "left_semi")
+                    .count()
                 )
-        return self._apply(docs, initial=False)
+                if dup:
+                    raise ValueError(
+                        f"add(): {dup} ids already indexed (append-only "
+                        "contract; remove() first or use a fresh id)"
+                    )
+            return self._apply(docs, initial=False)
 
     def _apply(self, docs: DataFrame, initial: bool) -> int:
         from pyspark import StorageLevel
@@ -225,58 +278,59 @@ class IncrementalDedupIndex:
         vnew = self.version() + 1
         inv_dir = f"inv_batch_{vnew}"
         sizes_dir = f"sizes_batch_{vnew}"
-        cap = self.params["df_cap"]
 
-        inv_delta, sizes_delta = self._delta_state(docs)
+        inv_delta, sizes_delta, sh = self._delta_state(docs)
         self._write(inv_delta, inv_dir)
         self._write(sizes_delta, sizes_dir)
+        sh.unpersist(blocking=False)
         # re-read what was written: the delta pipeline runs once, and the
         # stored copy IS the long-term index — divergence impossible
         inv_delta = self._read([inv_dir])
         sizes_delta = self._read([sizes_dir])
 
+        delta_df = inv_delta.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
         if initial:
             m = {"inv": [inv_dir], "sizes": [sizes_dir], "tombstones": []}
             old_inv = old_sizes = old_clusters = None
-            dfs_all = (
-                inv_delta.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
-                if cap is not None
-                else None
-            )
+            dfs_all = delta_df
         else:
             m = self._manifest()
-            old_inv = self._anti_tombstone(self._read(m["inv"]), m)
-            old_sizes = self._read(m["sizes"])
+            old_inv = self._stored(m["inv"], m)
+            old_sizes = self._stored(m["sizes"], m)
             old_clusters = self._read([m["clusters"]])
-            dfs_all = None
-            if cap is not None:
-                delta_df = inv_delta.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
-                dfs_all = (
-                    self._read([m["dfs"]])
-                    .unionByName(delta_df)
-                    .groupBy("h")
-                    .agg(F.sum("df").alias("df"))
-                )
+            # df is maintained incrementally (sum of per-batch counts) —
+            # one slim agg per add, never a re-scan of the stored index.
+            # Removed docs keep their counts (df slightly overcounts
+            # after removes — acceptable for a cap/skew heuristic).
+            dfs_all = (
+                self._read([m["dfs"]])
+                .unionByName(delta_df)
+                .groupBy("h")
+                .agg(F.sum("df").alias("df"))
+            )
             m["inv"] = m["inv"] + [inv_dir]
             m["sizes"] = m["sizes"] + [sizes_dir]
 
-        if dfs_all is not None:
-            dfs_all = dfs_all.persist(StorageLevel.MEMORY_AND_DISK)
+        dfs_all = dfs_all.persist(StorageLevel.MEMORY_AND_DISK)
+        heavy = dfs_all.filter(F.col("df") > self.skew_df_threshold)
         inv_d = self._cap_filter(inv_delta, dfs_all).persist(
             StorageLevel.MEMORY_AND_DISK
         )
 
         # candidate edges: delta×delta, plus delta×stored for an add.
         # The stored side is scanned once; the delta side is the small
-        # probe (AQE broadcasts it under the threshold). Hot shingles
-        # are bounded by df_cap when set; cap-free corpora rely on the
-        # same df distribution argument as the batch operators.
-        pair_rows = self._pair_rows(inv_d, inv_d, self_join=True)
+        # probe (AQE broadcasts it under the threshold). Hot shingles:
+        # df_cap bounds them when set, and shingles over
+        # skew_df_threshold take the salted join either way.
+        pair_rows = self._pair_rows(inv_d, inv_d, self_join=True, heavy=heavy)
         sizes_all = sizes_delta
         if not initial:
             pair_rows = pair_rows.unionByName(
                 self._pair_rows(
-                    inv_d, self._cap_filter(old_inv, dfs_all), self_join=False
+                    inv_d,
+                    self._cap_filter(old_inv, dfs_all),
+                    self_join=False,
+                    heavy=heavy,
                 )
             )
             sizes_all = sizes_all.unionByName(old_sizes)
@@ -318,46 +372,88 @@ class IncrementalDedupIndex:
         clusters_dir = f"clusters_v{vnew}"
         self._write(clusters, clusters_dir)
         m["clusters"] = clusters_dir
-        if cap is not None:
-            dfs_dir = f"dfs_v{vnew}"
-            self._write(dfs_all, dfs_dir)
-            m["dfs"] = dfs_dir
-            dfs_all.unpersist(blocking=False)
+        dfs_dir = f"dfs_v{vnew}"
+        self._write(dfs_all, dfs_dir)
+        m["dfs"] = dfs_dir
+        dfs_all.unpersist(blocking=False)
         inv_d.unpersist(blocking=False)
         return self._commit(m)
 
     def remove(self, ids: DataFrame) -> int:
-        """Tombstone documents: they leave `clusters()` and stop forming
-        new edges. Existing clusters are NOT re-split (see module doc)."""
-        m = self._manifest()
-        vnew = self.version() + 1
-        ids_dir = f"tombstones_v{vnew}"
-        self._write(ids.select(F.col(self.id_col).alias("id")).distinct(), ids_dir)
-        m["tombstones"] = m.get("tombstones", []) + [ids_dir]
-        return self._commit(m)
+        """Remove documents: purged from the clusters table immediately,
+        and their ALREADY-INDEXED rows stop forming new edges (the
+        tombstone is stamped ``as_of`` the current version and suppresses
+        only batches ≤ as_of). Existing clusters are NOT re-split (see
+        module doc) — and a later `add()` of the SAME id is a legitimate
+        re-add (the updated-document flow): its NEW rows land in a batch
+        past the stamp and behave like any fresh document (review
+        r5-4 #1/#2 — an id-only tombstone made re-adds invisible
+        forever and the strict check contradicted its own advice)."""
+        with self._st.mutate():
+            m = self._manifest()
+            vnew = self.version() + 1
+            ids_dir = f"tombstones_v{vnew}"
+            self._write(
+                ids.select(F.col(self.id_col).alias("id"))
+                .distinct()
+                .withColumn("as_of", F.lit(self.version())),
+                ids_dir,
+            )
+            # purge AND relabel: cluster labels are doc ids, and the
+            # removed doc may BE its cluster's label — if the id is
+            # later re-added with new content, a stale label would
+            # spuriously merge its old cluster into its new one (caught
+            # by test_readd_after_remove_uses_new_content). Relabeling
+            # to the min surviving member keeps the invariant every
+            # build/add maintains: label == min live member id.
+            from pyspark.sql import Window
+
+            kept = self._read([m["clusters"]]).join(
+                F.broadcast(self._read([ids_dir]).select("id")),
+                "id",
+                "left_anti",
+            )
+            relabeled = kept.select(
+                "id",
+                F.min("id").over(Window.partitionBy("cluster")).alias("cluster"),
+            )
+            clusters_dir = f"clusters_v{vnew}"
+            self._write(relabeled, clusters_dir)
+            m["clusters"] = clusters_dir
+            m["tombstones"] = m.get("tombstones", []) + [ids_dir]
+            return self._commit(m)
 
     # ------------------------------------------------------------ reads
 
-    def _anti_tombstone(self, df: DataFrame, m: dict) -> DataFrame:
+    def _stored(self, dirs: list[str], m: dict) -> DataFrame:
+        """Union the per-batch state dirs, suppressing each removed id's
+        rows ONLY in batches up to its tombstone's ``as_of`` stamp — a
+        re-added id's newer batches stay live."""
         tds = m.get("tombstones", [])
-        if not tds:
-            return df
-        return df.join(F.broadcast(self._read(tds)), "id", "left_anti")
+        ts = self._read(tds) if tds else None
+        parts = []
+        for d in dirs:
+            v = int(d.rsplit("_", 1)[1])
+            p = self._read([d])
+            if ts is not None:
+                dead = ts.filter(F.col("as_of") >= v).select("id")
+                p = p.join(F.broadcast(dead), "id", "left_anti")
+            parts.append(p)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def clusters(self) -> DataFrame:
         """(id_col, cluster_id, is_canonical) for every live document.
-        The canonical survivor is the min LIVE doc id of its cluster
-        (== cluster_id when nothing was removed, matching the batch
-        `dedup_clusters` exactly); after a removal the flag moves to the
-        next-smallest live member while cluster_id stays a stable
-        label. One window-min over the slim assignment table."""
-        from pyspark.sql import Window
-
+        The invariant ``cluster_id == min live member id`` holds at all
+        times (build/add maintain it; remove() relabels), so the
+        canonical survivor is simply the label-bearing doc — a pure
+        projection, no shuffle."""
         m = self._manifest()
-        out = self._anti_tombstone(self._read([m["clusters"]]), m)
-        live_min = F.min("id").over(Window.partitionBy("cluster"))
+        out = self._read([m["clusters"]])  # removes purged+relabeled
         return out.select(
             F.col("id").alias(self.id_col),
             F.col("cluster").alias("cluster_id"),
-            (F.col("id") == live_min).alias("is_canonical"),
+            (F.col("cluster") == F.col("id")).alias("is_canonical"),
         )

@@ -165,7 +165,7 @@ def main():
         [(100 + i, f"some text body {i} with words") for i in range(5)],
         "doc_id long, text string",
     )
-    inv_d, sizes_d = ix._delta_state(delta)
+    inv_d, sizes_d, _sh = ix._delta_state(delta)
     man = ix._manifest()
     pr = ix._pair_rows(inv_d, ix._read(man["inv"]), self_join=False).unionByName(
         ix._pair_rows(inv_d, inv_d, self_join=True)

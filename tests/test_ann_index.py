@@ -118,3 +118,22 @@ def test_remove_and_guards(spark, tmp_path):
     assert after.filter(F.col("neighbor_id") == victim).count() == 0
     with pytest.raises(ValueError):  # param mismatch vs stored manifest
         IVFIndex(spark, p, n_centroids=32)._st.manifest()
+
+
+def test_readd_after_remove_updates_vector(spark, tmp_path):
+    """Review r5-4 #1: remove() + add() under the same id replaces the
+    vector — the new rows land past the tombstone's as_of stamp and
+    must be searchable."""
+    emb = _emb(spark)
+    idx = IVFIndex(spark, str(tmp_path / "ix"), init="hash_sample")
+    idx.build(emb)
+    victim = 42
+    idx.remove(emb.filter(F.col("vec_id") == victim).select("vec_id"))
+    # re-add id 42 with vec_id 0's embedding → it becomes 0's nearest
+    newvec = (
+        emb.filter(F.col("vec_id") == 0)
+        .select(F.lit(victim).cast("long").alias("vec_id"), "embedding")
+    )
+    idx.add(newvec)
+    top = idx.search(emb.filter(F.col("vec_id") == 0), k=1).collect()
+    assert top and top[0]["neighbor_id"] == victim and top[0]["sim"] >= 0.9999

@@ -94,13 +94,14 @@ def test_remove_moves_canonical_and_stops_edges(spark, tmp_path):
     idx.remove(mk([(1, "")]).select("doc_id"))
     out = {r["doc_id"]: (r["cluster_id"], r["is_canonical"]) for r in idx.clusters().collect()}
     assert 1 not in out
-    # cluster label stays stable; canonical moves to the min LIVE member
-    assert out[2] == (1, True)
+    # remove() relabels to the min SURVIVING member (a stale dead-id
+    # label would collide with a future re-add of that id)
+    assert out[2] == (2, True)
     assert out[7] == (7, True)
     # the tombstoned doc's index rows make no NEW edges
     idx.add(mk([(9, "one two three four five six")]))
     out2 = {r["doc_id"]: r["cluster_id"] for r in idx.clusters().collect()}
-    assert out2[9] == 1  # still joins via doc 2's rows
+    assert out2[9] == 2  # still joins via doc 2's rows (relabeled cluster)
     idx2 = IncrementalDedupIndex(spark, str(tmp_path / "ix2"), min_overlap=2)
     idx2.build(mk([(1, "one two three four five six")]))
     idx2.remove(mk([(1, "")]).select("doc_id"))
@@ -148,3 +149,55 @@ def test_crash_leaves_previous_version_readable(spark, tmp_path):
     idx.add(mk([(3, "a b c d e f")]))  # the retry simply takes version 2
     assert idx.version() == 2
     assert {r["doc_id"] for r in idx.clusters().collect()} == {1, 2, 3}
+
+
+def test_readd_after_remove_uses_new_content(spark, tmp_path):
+    """Review r5-4 #1/#2: remove() then add() under the SAME id is the
+    updated-document flow — the re-add must be visible, cluster by its
+    NEW text, and the OLD text's index rows must stay edge-dead."""
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    idx = IncrementalDedupIndex(spark, str(tmp_path / "ix"), min_overlap=2)
+    idx.build(
+        mk(
+            [
+                (1, "alpha beta gamma delta epsilon"),
+                (2, "alpha beta gamma delta epsilon zeta"),
+                (7, "totally different words in this one"),
+            ]
+        )
+    )
+    idx.remove(mk([(1, "")]).select("doc_id"))
+    # re-add doc 1 with text similar to doc 7 now, not doc 2
+    idx.add(mk([(1, "totally different words in this here")]))
+    out = {r["doc_id"]: r["cluster_id"] for r in idx.clusters().collect()}
+    assert out[1] == out[7] == 1  # clusters by NEW text (min id = 1)
+    # doc 2 must NOT be linked to the re-added doc 1: the OLD text's
+    # rows are edge-dead AND remove() relabeled doc 2's cluster off the
+    # dead id (a stale label 1 would have spuriously merged 2 with 7)
+    assert out[2] == 2
+
+
+def test_concurrent_mutation_raises(spark, tmp_path):
+    from debezium_incubator_spark.lake.table import ConcurrentWriteError
+
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    idx = IncrementalDedupIndex(spark, str(tmp_path / "ix"), min_overlap=2)
+    idx.build(mk([(1, "a b c d"), (2, "a b c d e")]))
+    with idx._st.mutate():
+        with pytest.raises(ConcurrentWriteError):
+            idx.add(mk([(3, "a b c d e f")]))
+    idx.add(mk([(3, "a b c d e f")]))  # lock released → fine
+    assert idx.version() == 2  # build + add; the blocked add committed nothing
+
+
+def test_salted_heavy_path_matches_batch(spark, tmp_path):
+    """skew_df_threshold=1 routes EVERY shingle through the salted join;
+    the result must be identical to the batch closure."""
+    docs = _docs(spark)
+    part = F.pmod(F.xxhash64("doc_id", F.lit("saltsplit")), F.lit(4))
+    idx = IncrementalDedupIndex(
+        spark, str(tmp_path / "ix"), min_overlap=3, skew_df_threshold=1, skew_salts=4
+    )
+    idx.build(docs.filter(part < 3))
+    idx.add(docs.filter(part == 3))
+    assert _rows(idx.clusters()) == _rows(_batch_overlap(docs, 3))
