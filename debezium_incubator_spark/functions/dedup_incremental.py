@@ -313,6 +313,12 @@ class IncrementalDedupIndex:
 
         dfs_all = dfs_all.persist(StorageLevel.MEMORY_AND_DISK)
         heavy = dfs_all.filter(F.col("df") > self.skew_df_threshold)
+        # one scalar existence probe on the persisted slim df table: a
+        # corpus with no hot shingles (the common case) keeps the plain
+        # single-join plan — the salted split otherwise adds four
+        # broadcast-(anti|semi) joins per add for nothing
+        if heavy.limit(1).count() == 0:
+            heavy = None
         inv_d = self._cap_filter(inv_delta, dfs_all).persist(
             StorageLevel.MEMORY_AND_DISK
         )
