@@ -385,6 +385,35 @@ class IncrementalDedupIndex:
         inv_d.unpersist(blocking=False)
         return self._commit(m)
 
+    def apply_changes(self, changes: DataFrame, op_col: str = "op") -> int:
+        """Consume one CDC change batch — the literal bridge from the
+        engine's change feed to the dedup layer. ``changes`` carries
+        (id_col, text_col, op_col) rows with Debezium-style ops:
+        'c' insert, 'u' update, 'd' delete (row images for 'd' may have
+        NULL text). Updates take the remove-then-re-add flow (the old
+        content's rows go edge-dead behind the as_of stamp; the new
+        content indexes fresh), so after replaying any change sequence
+        the live clusters reflect each document's CURRENT text — with
+        the one documented asymmetry that merges contributed by
+        superseded content persist (clusters never re-split).
+
+        The batch should be LWW-deduplicated per key first (one row per
+        id — exactly what `operators/dedup.lww_latest` emits). Returns
+        the committed version (two commits: removes, then adds)."""
+        dead = changes.filter(F.col(op_col).isin("u", "d")).select(self.id_col)
+        live = changes.filter(F.col(op_col).isin("c", "u")).select(
+            self.id_col, self.text_col
+        )
+        # one scalar count decides each leg; empty legs skip their commit
+        if dead.limit(1).count():
+            self.remove(dead)
+        if live.limit(1).count():
+            # strict=False: updates were just tombstoned, creates are new
+            # by the CDC contract (the engine's merge enforces key
+            # uniqueness upstream)
+            self.add(live, strict=False)
+        return self.version()
+
     def remove(self, ids: DataFrame) -> int:
         """Remove documents: purged from the clusters table immediately,
         and their ALREADY-INDEXED rows stop forming new edges (the

@@ -201,3 +201,33 @@ def test_salted_heavy_path_matches_batch(spark, tmp_path):
     idx.build(docs.filter(part < 3))
     idx.add(docs.filter(part == 3))
     assert _rows(idx.clusters()) == _rows(_batch_overlap(docs, 3))
+
+
+def test_apply_changes_cdc_bridge(spark, tmp_path):
+    """Replay a CDC change sequence through apply_changes: inserts
+    cluster, an update re-clusters by the NEW text, a delete drops the
+    doc — live clusters reflect current text (old-content merges are
+    the documented never-resplit exception, exercised separately)."""
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string, op string")
+    idx = IncrementalDedupIndex(spark, str(tmp_path / "ix"), min_overlap=2)
+    idx.build(
+        spark.createDataFrame(
+            [(1, "alpha beta gamma delta"), (5, "mu nu xi omicron pi")],
+            "doc_id long, text string",
+        )
+    )
+    # batch 1: insert doc 2 near doc 1; insert doc 9 near doc 5
+    idx.apply_changes(
+        mk([(2, "alpha beta gamma delta epsilon", "c"),
+            (9, "mu nu xi omicron pi rho", "c")])
+    )
+    out = {r["doc_id"]: r["cluster_id"] for r in idx.clusters().collect()}
+    assert out == {1: 1, 2: 1, 5: 5, 9: 5}
+    # batch 2: doc 9 rewritten to match doc 1's family; doc 5 deleted
+    idx.apply_changes(
+        mk([(9, "alpha beta gamma delta zeta", "u"),
+            (5, None, "d")])
+    )
+    out = {r["doc_id"]: r["cluster_id"] for r in idx.clusters().collect()}
+    assert 5 not in out
+    assert out[9] == 1 and out[1] == 1 and out[2] == 1  # re-clustered by new text
