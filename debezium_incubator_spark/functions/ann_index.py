@@ -139,6 +139,22 @@ class IVFIndex:
         manifest.setdefault("n_indexed", {})[rel] = self._st.read([rel]).count()
         return self._st.commit(manifest)
 
+    def apply_changes(self, changes: DataFrame, op_col: str = "op") -> int:
+        """Consume one CDC change batch of embeddings — (id_col,
+        vec_col, op_col) rows with Debezium-style ops: 'c' insert,
+        'u' update (remove-then-re-add against the frozen centroids),
+        'd' delete. The batch should be LWW-deduplicated per key first.
+        Same contract as `IncrementalDedupIndex.apply_changes`."""
+        dead = changes.filter(F.col(op_col).isin("u", "d")).select(self.id_col)
+        live = changes.filter(F.col(op_col).isin("c", "u")).select(
+            self.id_col, self.vec_col
+        )
+        if dead.limit(1).count():
+            self.remove(dead)
+        if live.limit(1).count():
+            self.add(live, strict=False)
+        return self.version()
+
     def remove(self, ids: DataFrame) -> int:
         """Tombstone vectors out of every later search. The stamp
         suppresses only list batches ≤ the current version, so a later

@@ -137,3 +137,23 @@ def test_readd_after_remove_updates_vector(spark, tmp_path):
     idx.add(newvec)
     top = idx.search(emb.filter(F.col("vec_id") == 0), k=1).collect()
     assert top and top[0]["neighbor_id"] == victim and top[0]["sim"] >= 0.9999
+
+
+def test_apply_changes_cdc_bridge(spark, tmp_path):
+    """CDC replay into the vector index: insert, update (vector
+    replaced against the frozen centroids), delete."""
+    emb = _emb(spark)
+    idx = IVFIndex(spark, str(tmp_path / "ix"), init="hash_sample")
+    idx.build(emb.filter(F.col("vec_id") >= 10))
+    v0 = emb.filter(F.col("vec_id") == 10).first()["embedding"]
+    changes = spark.createDataFrame(
+        [(1000, v0, "c"),            # insert: a clone of vector 10
+         (11, v0, "u"),              # update: 11 becomes a clone of 10 too
+         (12, None, "d")],           # delete 12
+        f"vec_id long, embedding array<double>, op string",
+    )
+    idx.apply_changes(changes)
+    q = emb.filter(F.col("vec_id") == 10)
+    top = {r["neighbor_id"] for r in idx.search(q, k=2).collect()}
+    assert top == {1000, 11}  # the two clones rank first
+    assert idx.search(q, k=50).filter(F.col("neighbor_id") == 12).count() == 0
