@@ -118,6 +118,12 @@ class IncrementalDedupIndex:
     def version(self) -> int:
         return self._st.version()
 
+    def meta(self) -> dict:
+        """The current manifest (read-only) — carries any ``extra_meta``
+        a caller attached to its commits (e.g. a consumer's changelog
+        position, see jobs/dedup_index_job.py)."""
+        return self._st.manifest()
+
     def _manifest(self) -> dict:
         return self._st.manifest()
 
@@ -239,16 +245,21 @@ class IncrementalDedupIndex:
 
     # ------------------------------------------------------------ build/add
 
-    def build(self, docs: DataFrame) -> int:
+    def build(self, docs: DataFrame, extra_meta: dict | None = None) -> int:
         """Index + cluster an initial corpus. Semantics == the batch
         `shingle_overlap_pairs`/`ngram_jaccard_pairs` → `dedup_clusters`
         composition (cap-free case exactly; see df_cap note)."""
         with self._st.mutate():
             if self.version() != 0:
                 raise RuntimeError("build() on a non-empty index; use add()")
-            return self._apply(docs, initial=True)
+            return self._apply(docs, initial=True, extra_meta=extra_meta)
 
-    def add(self, docs: DataFrame, strict: bool = True) -> int:
+    def add(
+        self,
+        docs: DataFrame,
+        strict: bool = True,
+        extra_meta: dict | None = None,
+    ) -> int:
         """Ingest a delta batch: new docs join existing clusters, and a
         delta doc similar to members of TWO old clusters merges them
         (cluster-graph transitive closure).
@@ -270,9 +281,11 @@ class IncrementalDedupIndex:
                         f"add(): {dup} ids already indexed (append-only "
                         "contract; remove() first or use a fresh id)"
                     )
-            return self._apply(docs, initial=False)
+            return self._apply(docs, initial=False, extra_meta=extra_meta)
 
-    def _apply(self, docs: DataFrame, initial: bool) -> int:
+    def _apply(
+        self, docs: DataFrame, initial: bool, extra_meta: dict | None = None
+    ) -> int:
         from pyspark import StorageLevel
 
         vnew = self.version() + 1
@@ -383,9 +396,16 @@ class IncrementalDedupIndex:
         m["dfs"] = dfs_dir
         dfs_all.unpersist(blocking=False)
         inv_d.unpersist(blocking=False)
+        if extra_meta:
+            m.update(extra_meta)
         return self._commit(m)
 
-    def apply_changes(self, changes: DataFrame, op_col: str = "op") -> int:
+    def apply_changes(
+        self,
+        changes: DataFrame,
+        op_col: str = "op",
+        extra_meta: dict | None = None,
+    ) -> int:
         """Consume one CDC change batch — the literal bridge from the
         engine's change feed to the dedup layer. ``changes`` carries
         (id_col, text_col, op_col) rows with Debezium-style ops:
@@ -400,21 +420,57 @@ class IncrementalDedupIndex:
         The batch should be LWW-deduplicated per key first (one row per
         id — exactly what `operators/dedup.lww_latest` emits). Returns
         the committed version (two commits: removes, then adds)."""
-        dead = changes.filter(F.col(op_col).isin("u", "d")).select(self.id_col)
         live = changes.filter(F.col(op_col).isin("c", "u")).select(
             self.id_col, self.text_col
         )
-        # one scalar count decides each leg; empty legs skip their commit
-        if dead.limit(1).count():
-            self.remove(dead)
-        if live.limit(1).count():
+        # any change row whose id is CURRENTLY indexed supersedes it —
+        # not just 'u'/'d': a 'c' can legitimately hit an indexed id
+        # (PK-update d+c re-creates, or replayed creates), and adding it
+        # without the remove would duplicate its clusters row. The
+        # semi-join against the slim clusters table also drops deletes
+        # of never-indexed ids (their remove would be a no-op anyway).
+        if self.version() > 0:
+            indexed = (
+                self._read([self._manifest()["clusters"]])
+                .select(F.col("id").alias(self.id_col))
+            )
+            dead = (
+                changes.select(self.id_col)
+                .distinct()
+                .join(indexed, self.id_col, "left_semi")
+            )
+        else:
+            dead = live.select(self.id_col).limit(0)
+        # one scalar count decides each leg; empty legs skip their
+        # commit. ``extra_meta`` (e.g. the consumer's changelog
+        # position) rides the LAST commit of the batch — never earlier —
+        # so a crash mid-batch replays the WHOLE batch: the re-remove is
+        # idempotent and the re-add's rows land past the new stamp
+        # (commit-THEN-checkpoint, the engine's own invariant).
+        has_dead = bool(dead.limit(1).count()) and self.version() > 0
+        has_live = bool(live.limit(1).count())
+        if not has_live and self.version() == 0:
+            # nothing indexed yet and nothing to index: no manifest to
+            # stamp — the caller replays this (no-op) batch next run
+            return 0
+        if has_dead:
+            self.remove(dead, extra_meta=None if has_live else extra_meta)
+        if has_live:
             # strict=False: updates were just tombstoned, creates are new
             # by the CDC contract (the engine's merge enforces key
             # uniqueness upstream)
-            self.add(live, strict=False)
+            if self.version() == 0:
+                self.build(live, extra_meta=extra_meta)
+            else:
+                self.add(live, strict=False, extra_meta=extra_meta)
+        elif not has_dead and extra_meta:
+            with self._st.mutate():
+                m = self._manifest()
+                m.update(extra_meta)
+                self._commit(m)
         return self.version()
 
-    def remove(self, ids: DataFrame) -> int:
+    def remove(self, ids: DataFrame, extra_meta: dict | None = None) -> int:
         """Remove documents: purged from the clusters table immediately,
         and their ALREADY-INDEXED rows stop forming new edges (the
         tombstone is stamped ``as_of`` the current version and suppresses
@@ -456,6 +512,8 @@ class IncrementalDedupIndex:
             self._write(relabeled, clusters_dir)
             m["clusters"] = clusters_dir
             m["tombstones"] = m.get("tombstones", []) + [ids_dir]
+            if extra_meta:
+                m.update(extra_meta)
             return self._commit(m)
 
     # ------------------------------------------------------------ reads

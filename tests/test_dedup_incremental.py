@@ -231,3 +231,10 @@ def test_apply_changes_cdc_bridge(spark, tmp_path):
     out = {r["doc_id"]: r["cluster_id"] for r in idx.clusters().collect()}
     assert 5 not in out
     assert out[9] == 1 and out[1] == 1 and out[2] == 1  # re-clustered by new text
+    # batch 3: a 'c' hitting an ALREADY-indexed id (PK-recreate /
+    # replayed create) must supersede, never duplicate the cluster row
+    idx.apply_changes(mk([(2, "entirely new unrelated text here now", "c")]))
+    rows = idx.clusters().collect()
+    assert len(rows) == len({r["doc_id"] for r in rows})  # no dup rows
+    out = {r["doc_id"]: r["cluster_id"] for r in rows}
+    assert out == {1: 1, 9: 1, 2: 2}  # doc 2 re-clustered alone by new text

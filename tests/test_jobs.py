@@ -87,6 +87,30 @@ def test_apply_job_batch_mode(job_fixtures, tmp_path):
     assert m["phase"] == "stream" and m["counters"]["events_in"] > 0
 
 
+def test_dedup_index_job_consumes_changelog_and_resumes(job_fixtures, tmp_path):
+    """The training-data consumer: maintain a dedup index from the CDC
+    changelog via spark-submit-shaped subprocess. Run 1 indexes the
+    feed (LWW per key per epoch, c/u/d through apply_changes); run 2 is
+    a no-op (stream_pos rides the manifest — commit-THEN-checkpoint)."""
+    d = job_fixtures
+    args = [
+        f"{REPO}/jobs/dedup_index_job.py",
+        "--index", str(tmp_path / "ix"),
+        "--changelog", str(d / "changelog"),
+        "--table", "files_00",
+        "--min-overlap", "3",
+        "--offsets-per-epoch", "500",
+    ]
+    s1 = _run(args)
+    assert s1["docs"] > 0 and s1["clusters"] > 0
+    assert s1["epochs_applied"] >= 1
+    assert s1["clusters"] <= s1["docs"]
+    s2 = _run(args)
+    assert s2["epochs_applied"] == 0  # fully caught up → no-op
+    assert s2["version"] == s1["version"]
+    assert s2["docs"] == s1["docs"] and s2["clusters"] == s1["clusters"]
+
+
 def test_spark_submit_py_files_deployment(job_fixtures, tmp_path):
     """North-rule deployment clause, run for real: the engine package
     ships as a zip via ``spark-submit --py-files`` — no PYTHONPATH, no
