@@ -145,12 +145,32 @@ class IVFIndex:
         'u' update (remove-then-re-add against the frozen centroids),
         'd' delete. The batch should be LWW-deduplicated per key first.
         Same contract as `IncrementalDedupIndex.apply_changes`."""
-        dead = changes.filter(F.col(op_col).isin("u", "d")).select(self.id_col)
         live = changes.filter(F.col(op_col).isin("c", "u")).select(
             self.id_col, self.vec_col
         )
-        if dead.limit(1).count():
-            self.remove(dead)
+        # any change-row id that is CURRENTLY indexed supersedes its old
+        # vector — not just 'u'/'d': a 'c' legitimately hits an indexed
+        # id (delete+recreate LWW-collapsed to the 'c'), and adding it
+        # without the tombstone leaves TWO live rows for the id, which
+        # search's dropDuplicates then picks between nondeterministically.
+        # The semi-join (id column only — pruned scan) also bounds the
+        # tombstone table to ids that were actually indexed. Join
+        # direction matters at scale: the CHANGE-ID set is the small
+        # side, so broadcast it and keep the index scan shuffle-free —
+        # the reverse orientation would shuffle (or try to broadcast)
+        # the full index id column per CDC batch.
+        if self.version() > 0:
+            indexed = (
+                self._lists(self._st.manifest())
+                .select(F.col("neighbor_id").alias(self.id_col))
+            )
+            dead = indexed.join(
+                F.broadcast(changes.select(self.id_col).distinct()),
+                self.id_col,
+                "left_semi",
+            )
+            if dead.limit(1).count():
+                self.remove(dead)
         if live.limit(1).count():
             self.add(live, strict=False)
         return self.version()

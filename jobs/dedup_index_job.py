@@ -63,7 +63,12 @@ def main():
     if idx.version() > 0:
         pos = idx.meta().get("stream_pos", -1)
     epochs = 0
-    while True:
+    # loop bound from footer stats (driver-side metadata walk, no Spark
+    # job) — an empty SLICE must advance past the gap, not end the run:
+    # an offset gap wider than --offsets-per-epoch would otherwise
+    # silently strand all later history
+    top = cl.max_offset(spark)
+    while pos < top:
         hi = pos + args.offsets_per_epoch
         raw = cl.range(spark, pos, hi)
         # record the TRUE delivered-through offset of the UNFILTERED
@@ -72,7 +77,8 @@ def main():
         # still advance rather than end the run
         hi_actual = raw.agg(F.max("offset")).first()[0]
         if hi_actual is None:
-            break
+            pos = hi  # gap: advance locally, nothing consumed to stamp
+            continue
         batch = raw
         if args.table:
             batch = batch.filter(F.col("source.table") == args.table)

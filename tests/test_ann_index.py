@@ -157,3 +157,21 @@ def test_apply_changes_cdc_bridge(spark, tmp_path):
     top = {r["neighbor_id"] for r in idx.search(q, k=2).collect()}
     assert top == {1000, 11}  # the two clones rank first
     assert idx.search(q, k=50).filter(F.col("neighbor_id") == 12).count() == 0
+
+    # a 'c' on an ALREADY-indexed id (delete+recreate LWW-collapsed to
+    # the create) must supersede the old vector — without the tombstone
+    # there would be two live rows for id 11 and search's dropDuplicates
+    # would pick between the old clone-of-10 and the new clone-of-20
+    # nondeterministically
+    v20 = emb.filter(F.col("vec_id") == 20).first()["embedding"]
+    idx.apply_changes(
+        spark.createDataFrame(
+            [(11, v20, "c")], "vec_id long, embedding array<double>, op string"
+        )
+    )
+    live11 = idx._lists(idx._st.manifest()).filter(
+        F.col("neighbor_id") == 11
+    ).collect()
+    assert len(live11) == 1 and live11[0]["c_vec"] == list(v20)
+    top20 = idx.search(emb.filter(F.col("vec_id") == 20), k=1).first()
+    assert top20["neighbor_id"] == 11 and top20["sim"] >= 0.9999

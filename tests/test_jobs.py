@@ -87,7 +87,7 @@ def test_apply_job_batch_mode(job_fixtures, tmp_path):
     assert m["phase"] == "stream" and m["counters"]["events_in"] > 0
 
 
-def test_dedup_index_job_consumes_changelog_and_resumes(job_fixtures, tmp_path):
+def test_dedup_index_job_consumes_changelog_and_resumes(spark, job_fixtures, tmp_path):
     """The training-data consumer: maintain a dedup index from the CDC
     changelog via spark-submit-shaped subprocess. Run 1 indexes the
     feed (LWW per key per epoch, c/u/d through apply_changes); run 2 is
@@ -109,6 +109,28 @@ def test_dedup_index_job_consumes_changelog_and_resumes(job_fixtures, tmp_path):
     assert s2["epochs_applied"] == 0  # fully caught up → no-op
     assert s2["version"] == s1["version"]
     assert s2["docs"] == s1["docs"] and s2["clusters"] == s1["clusters"]
+
+    # run 3: late events land past an offset gap WIDER than one epoch
+    # (10 empty slices at 500/epoch). The consumer must walk through the
+    # gap to the footer max, not end the run at the first empty slice.
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    cl2 = str(tmp_path / "changelog2")
+    shutil.copytree(str(d / "changelog"), cl2)
+    late = (
+        spark.read.parquet(str(d / "changelog"))
+        .filter(F.col("source.table") == "files_00")
+        .orderBy("offset")
+        .limit(5)
+        .withColumn("offset", F.col("offset") + F.lit(5000))
+    )
+    late.coalesce(1).write.mode("append").parquet(cl2)
+    s3 = _run([a if a != str(d / "changelog") else cl2 for a in args])
+    assert s3["epochs_applied"] >= 1  # the gap was crossed
+    assert s3["stream_pos"] > s1["stream_pos"]
+    assert s3["version"] > s2["version"]
 
 
 def test_spark_submit_py_files_deployment(job_fixtures, tmp_path):
