@@ -89,6 +89,60 @@ class VersionedState:
         )
         return v
 
+    def expire(self, keep_last: int = 1, protect: tuple = ()) -> list[str]:
+        """Reclaim disk: delete state dirs referenced by NO retained
+        manifest, plus the superseded ``v{N}.json`` manifests themselves.
+        The natural companion of an index's ``compact()`` — compaction
+        swings the manifest to the rewritten dirs but leaves the old
+        batch/tombstone dirs on disk (crash-safety: the previous version
+        stays fully readable until the operator decides to reclaim it).
+
+        ``keep_last`` retains that many newest versions (≥2 leaves a
+        fallback for concurrent readers mid-scan on a shared
+        filesystem — same rationale as `lake/table.py:expire_versions`).
+        ``protect`` names dirs outside any manifest that must survive
+        (e.g. the IVF index's frozen ``centroids/``). Takes the writer
+        lock itself — call it OUTSIDE mutate(). Returns deleted names.
+        """
+        import shutil
+
+        with self.mutate():
+            v = self.version()
+            if v == 0:
+                return []
+            keep_from = max(1, v - keep_last + 1)
+            referenced: set[str] = set(protect)
+
+            def walk(node):
+                if isinstance(node, str):
+                    referenced.add(node)
+                elif isinstance(node, dict):
+                    for x in node.values():
+                        walk(x)
+                elif isinstance(node, (list, tuple)):
+                    for x in node:
+                        walk(x)
+
+            for n in range(keep_from, v + 1):
+                with open(os.path.join(self.path, f"v{n}.json")) as f:
+                    walk(json.load(f))
+            removed = []
+            for name in sorted(os.listdir(self.path)):
+                full = os.path.join(self.path, name)
+                if os.path.isdir(full):
+                    if name not in referenced:
+                        shutil.rmtree(full)
+                        removed.append(name)
+                elif name.startswith("v") and name.endswith(".json"):
+                    try:
+                        n = int(name[1:-5])
+                    except ValueError:
+                        continue
+                    if n < keep_from:
+                        os.remove(full)
+                        removed.append(name)
+            return removed
+
     def read(self, dirs: list[str]) -> DataFrame:
         return self.spark.read.parquet(*[os.path.join(self.path, d) for d in dirs])
 

@@ -175,6 +175,51 @@ class IVFIndex:
             self.add(live, strict=False)
         return self.version()
 
+    def compact(self) -> int:
+        """Rewrite the NET live rows into one cid-partitioned list batch
+        and clear the tombstone chain. Under sustained `apply_changes`
+        every batch adds one more per-dir scan plus a broadcast-anti
+        tombstone join to every later search — unbounded read
+        amplification; compaction restores the single-root layout (one
+        partitioned read, native pruning, zero anti-joins) at the cost
+        of one full index rewrite, the same CoW trade as
+        `lake/table.py:compact`. ``repartition("cid")`` bounds output
+        files to ~one per inverted list regardless of how many appends
+        fed it. Resets the per-batch ``n_indexed`` retrain signal
+        (appended-mass-vs-build-mass) — consult it BEFORE compacting.
+        Old dirs stay on disk until `expire()` reclaims them."""
+        with self._st.mutate():
+            m = self._st.manifest()
+            if len(m["lists"]) <= 1 and not m.get("tombstones"):
+                return self._st.version()
+            vnew = self._st.version() + 1
+            rel = f"lists_batch_{vnew}"
+            live = self._lists(m)
+            self._st.write(live.repartition("cid"), rel, partition_by="cid")
+            # fully-emptied index (every row tombstoned): a PARTITIONED
+            # zero-row write lands no files and a later read fails schema
+            # inference — fall back to a schema-bearing non-partitioned
+            # empty batch (cid rides as a data column; searches of an
+            # empty index stay correct, pruning is moot). Driver-side
+            # file probe, no extra Spark job.
+            import os as _os
+
+            d = _os.path.join(self._st.path, rel)
+            if not any(
+                f.endswith(".parquet") for _, _, fs in _os.walk(d) for f in fs
+            ):
+                self._st.write(live.limit(0), rel)
+            m["lists"] = [rel]
+            m["tombstones"] = []
+            m["n_indexed"] = {rel: self._st.read([rel]).count()}
+            return self._st.commit(m)
+
+    def expire(self, keep_last: int = 1) -> list[str]:
+        """Reclaim dirs unreferenced by the ``keep_last`` newest
+        versions (run after `compact()`); the frozen centroids always
+        survive. See `VersionedState.expire`."""
+        return self._st.expire(keep_last, protect=("centroids",))
+
     def remove(self, ids: DataFrame) -> int:
         """Tombstone vectors out of every later search. The stamp
         suppresses only list batches ≤ the current version, so a later

@@ -516,6 +516,58 @@ class IncrementalDedupIndex:
                 m.update(extra_meta)
             return self._commit(m)
 
+    def compact(self, recompute_dfs: bool = True) -> int:
+        """Fold the per-batch inverted-index/size chains into ONE batch
+        each, tombstones applied, and clear the tombstone list. Under
+        sustained `apply_changes` every batch adds a per-dir scan plus a
+        broadcast-anti join to every later add's stored-side read —
+        unbounded read amplification; compaction restores a single scan
+        per state table, the same CoW trade as `lake/table.py:compact`.
+        Semantics are unchanged: `_stored` already computes exactly this
+        net view, and the live rows all land in batch ``vnew`` — past
+        every possible stamp — so dropping the tombstones loses nothing.
+
+        ``recompute_dfs`` re-derives shingle document frequency from the
+        compacted live index (one slim agg), discarding the overcount
+        that removed documents leave in the incrementally-maintained
+        table. With ``df_cap`` set this can re-enable a shingle whose
+        LIVE frequency dropped back under the cap — the frequency now
+        tracks the live corpus, which is the better heuristic; pass
+        False to keep the monotone at-add-time counts.
+
+        Old dirs stay on disk until `expire()` reclaims them."""
+        with self._st.mutate():
+            m = self._manifest()
+            if (
+                len(m["inv"]) <= 1
+                and len(m["sizes"]) <= 1
+                and not m.get("tombstones")
+            ):
+                return self.version()
+            vnew = self.version() + 1
+            inv_dir = f"inv_batch_{vnew}"
+            sizes_dir = f"sizes_batch_{vnew}"
+            self._write(self._stored(m["inv"], m), inv_dir)
+            self._write(self._stored(m["sizes"], m), sizes_dir)
+            m["inv"] = [inv_dir]
+            m["sizes"] = [sizes_dir]
+            m["tombstones"] = []
+            if recompute_dfs:
+                dfs_dir = f"dfs_v{vnew}"
+                self._write(
+                    self._read([inv_dir])
+                    .groupBy("h")
+                    .agg(F.count(F.lit(1)).alias("df")),
+                    dfs_dir,
+                )
+                m["dfs"] = dfs_dir
+            return self._commit(m)
+
+    def expire(self, keep_last: int = 1) -> list[str]:
+        """Reclaim dirs unreferenced by the ``keep_last`` newest
+        versions (run after `compact()`). See `VersionedState.expire`."""
+        return self._st.expire(keep_last)
+
     # ------------------------------------------------------------ reads
 
     def _stored(self, dirs: list[str], m: dict) -> DataFrame:

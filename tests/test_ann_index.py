@@ -175,3 +175,65 @@ def test_apply_changes_cdc_bridge(spark, tmp_path):
     assert len(live11) == 1 and live11[0]["c_vec"] == list(v20)
     top20 = idx.search(emb.filter(F.col("vec_id") == 20), k=1).first()
     assert top20["neighbor_id"] == 11 and top20["sim"] >= 0.9999
+
+
+def test_compact_preserves_search_and_expire_reclaims(spark, tmp_path):
+    """compact() folds every list batch + tombstone into ONE partitioned
+    batch: search answers are unchanged, the scan is still partition-
+    pruned, and expire() physically reclaims the superseded dirs while
+    the frozen centroids survive."""
+    import re
+
+    emb = _emb(spark)
+    queries = emb.filter(F.col("vec_id") < 10)
+    p = str(tmp_path / "ix")
+    idx = IVFIndex(spark, p, init="hash_sample")
+    idx.build(emb.filter(F.col("vec_id") % 3 == 0))
+    idx.add(emb.filter(F.col("vec_id") % 3 == 1))
+    idx.add(emb.filter(F.col("vec_id") % 3 == 2))
+    idx.remove(emb.filter(F.col("vec_id") % 17 == 0).select("vec_id"))
+    before = _rows(idx.search(queries, k=5))
+    n_live = idx._lists(idx._st.manifest()).count()
+    idx.compact()
+    m = idx._st.manifest()
+    assert len(m["lists"]) == 1 and m["tombstones"] == []
+    assert sum(m["n_indexed"].values()) == n_live
+    assert _rows(idx.search(queries, k=5)) == before
+    r = idx.search(queries.limit(3), k=3, n_probe=2)
+    plan = r._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[cid#\d+ IN \(", plan), plan[:2000]
+
+    removed = idx.expire(keep_last=1)
+    assert "lists_batch_1" in removed and "centroids" not in removed
+    assert not os.path.exists(os.path.join(p, "v1.json"))
+    assert _rows(idx.search(queries, k=5)) == before
+
+    # post-compact mutations: tombstone epochs restart cleanly — a
+    # remove() + re-add under the same id still replaces the vector
+    victim = int(before[0][1])
+    idx.remove(emb.filter(F.col("vec_id") == victim).select("vec_id"))
+    newvec = (
+        emb.filter(F.col("vec_id") == 0)
+        .select(F.lit(victim).cast("long").alias("vec_id"), "embedding")
+    )
+    idx.add(newvec)
+    top = idx.search(emb.filter(F.col("vec_id") == 0), k=1).collect()
+    assert top and top[0]["neighbor_id"] == victim and top[0]["sim"] >= 0.9999
+
+
+def test_compact_fully_emptied_index(spark, tmp_path):
+    """Every row tombstoned → a partitioned zero-row write would land no
+    files and break later reads; compact() must fall back to a schema-
+    bearing empty batch and the index must accept vectors again."""
+    emb = _emb(spark)
+    small = emb.filter(F.col("vec_id") < 20)
+    idx = IVFIndex(spark, str(tmp_path / "ix"), init="hash_sample")
+    idx.build(small)
+    idx.remove(small.select("vec_id"))
+    idx.compact()
+    m = idx._st.manifest()
+    assert len(m["lists"]) == 1 and m["tombstones"] == []
+    q = emb.filter(F.col("vec_id") < 3)
+    assert idx.search(q, k=3).count() == 0
+    idx.add(emb.filter(F.col("vec_id").between(30, 49)))
+    assert idx.search(q, k=3, n_probe=16).count() > 0

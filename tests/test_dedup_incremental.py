@@ -238,3 +238,50 @@ def test_apply_changes_cdc_bridge(spark, tmp_path):
     assert len(rows) == len({r["doc_id"] for r in rows})  # no dup rows
     out = {r["doc_id"]: r["cluster_id"] for r in rows}
     assert out == {1: 1, 9: 1, 2: 2}  # doc 2 re-clustered alone by new text
+
+
+def test_compact_preserves_state_and_future_adds(spark, tmp_path):
+    """compact() folds the inv/size batch chains with tombstones
+    applied: clusters are unchanged, a subsequent add over the compacted
+    index produces EXACTLY what an uncompacted twin produces, and
+    expire() reclaims the superseded dirs from disk."""
+    docs = _docs(spark)
+    part = F.pmod(F.xxhash64("doc_id", F.lit("cmpsplit")), F.lit(10))
+    dead = docs.filter((part == 6) & (F.col("doc_id") % 3 == 0)).select("doc_id")
+    a = IncrementalDedupIndex(spark, str(tmp_path / "a"), min_overlap=3)
+    b = IncrementalDedupIndex(spark, str(tmp_path / "b"), min_overlap=3)
+    for ix in (a, b):
+        ix.build(docs.filter(part < 6))
+        ix.add(docs.filter(part.isin(6, 7)))
+        ix.remove(dead)
+    a.compact()
+    m = a._manifest()
+    assert len(m["inv"]) == 1 and len(m["sizes"]) == 1 and m["tombstones"] == []
+    assert _rows(a.clusters()) == _rows(b.clusters())
+    removed = a.expire(keep_last=1)
+    assert any(d.startswith("inv_batch_") for d in removed)
+    for ix in (a, b):
+        ix.add(docs.filter(part > 7))
+    assert _rows(a.clusters()) == _rows(b.clusters())
+
+
+def test_compact_then_readd_uses_new_content(spark, tmp_path):
+    """After compaction a removed doc's rows are physically gone (not
+    just stamp-suppressed); a re-add under the same id forms edges from
+    the NEW content only."""
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    idx = IncrementalDedupIndex(spark, str(tmp_path / "ix"), min_overlap=3)
+    idx.build(
+        mk(
+            [
+                (1, "alpha beta gamma delta epsilon zeta"),
+                (2, "alpha beta gamma delta epsilon zeta eta"),
+                (3, "one two three four five six"),
+            ]
+        )
+    )
+    idx.remove(mk([(2, "")]).select("doc_id"))
+    idx.compact()
+    idx.add(mk([(2, "one two three four five six seven")]))
+    got = {r["doc_id"]: r["cluster_id"] for r in idx.clusters().collect()}
+    assert got[2] == got[3] == 2 and got[1] == 1
