@@ -86,7 +86,7 @@ class IVFIndex:
 
     # ------------------------------------------------------------ write
 
-    def build(self, corpus: DataFrame) -> int:
+    def build(self, corpus: DataFrame, extra_meta: dict | None = None) -> int:
         """Train centroids on ``corpus`` and index it."""
         with self._st.mutate():
             if self._st.version() != 0:
@@ -100,9 +100,22 @@ class IVFIndex:
                 cent.select(F.explode("__cents").alias("c")).select("c.cid", "c.vec"),
                 "centroids",
             )
-            return self._append(corpus, {"lists": [], "tombstones": []})
+            return self._append(
+                corpus, {"lists": [], "tombstones": []}, extra_meta
+            )
 
-    def add(self, vectors: DataFrame, strict: bool = True) -> int:
+    def meta(self) -> dict:
+        """The current manifest (read-only) — carries any ``extra_meta``
+        a caller attached to its commits (e.g. a consumer's changelog
+        position, see jobs/ann_index_job.py)."""
+        return self._st.manifest()
+
+    def add(
+        self,
+        vectors: DataFrame,
+        strict: bool = True,
+        extra_meta: dict | None = None,
+    ) -> int:
         """Append a delta batch, assigned to the frozen centroids. Ids
         must be new OR previously removed — a re-add under the same id
         is the updated-vector flow (its rows land in a batch past the
@@ -126,9 +139,11 @@ class IVFIndex:
                         f"add(): {dup} ids already indexed (append-only "
                         "contract; remove() first to replace a vector)"
                     )
-            return self._append(vectors, m)
+            return self._append(vectors, m, extra_meta)
 
-    def _append(self, vectors: DataFrame, manifest: dict) -> int:
+    def _append(
+        self, vectors: DataFrame, manifest: dict, extra_meta: dict | None = None
+    ) -> int:
         vnew = self._st.version() + 1
         rel = f"lists_batch_{vnew}"
         assigned = self._assign(vectors)
@@ -137,14 +152,27 @@ class IVFIndex:
         # footer-only count of what was just written — the operator's
         # retrain signal (appended mass vs build mass, see module doc)
         manifest.setdefault("n_indexed", {})[rel] = self._st.read([rel]).count()
+        if extra_meta:
+            manifest.update(extra_meta)
         return self._st.commit(manifest)
 
-    def apply_changes(self, changes: DataFrame, op_col: str = "op") -> int:
+    def apply_changes(
+        self,
+        changes: DataFrame,
+        op_col: str = "op",
+        extra_meta: dict | None = None,
+    ) -> int:
         """Consume one CDC change batch of embeddings — (id_col,
         vec_col, op_col) rows with Debezium-style ops: 'c' insert,
         'u' update (remove-then-re-add against the frozen centroids),
         'd' delete. The batch should be LWW-deduplicated per key first.
-        Same contract as `IncrementalDedupIndex.apply_changes`."""
+        Same contract as `IncrementalDedupIndex.apply_changes`,
+        including the bootstrap: the first live batch of an EMPTY index
+        trains the centroids (build), later batches append against them.
+        ``extra_meta`` (e.g. a consumer's changelog position) rides the
+        LAST commit of the batch — a crash mid-batch replays the whole
+        batch (the re-remove is idempotent, the re-add lands past the
+        fresh tombstone stamp)."""
         live = changes.filter(F.col(op_col).isin("c", "u")).select(
             self.id_col, self.vec_col
         )
@@ -159,6 +187,8 @@ class IVFIndex:
         # side, so broadcast it and keep the index scan shuffle-free —
         # the reverse orientation would shuffle (or try to broadcast)
         # the full index id column per CDC batch.
+        has_dead = False
+        dead = None
         if self.version() > 0:
             indexed = (
                 self._lists(self._st.manifest())
@@ -169,10 +199,24 @@ class IVFIndex:
                 self.id_col,
                 "left_semi",
             )
-            if dead.limit(1).count():
-                self.remove(dead)
-        if live.limit(1).count():
-            self.add(live, strict=False)
+            has_dead = bool(dead.limit(1).count())
+        has_live = bool(live.limit(1).count())
+        if not has_live and self.version() == 0:
+            # nothing indexed yet and nothing to index: no manifest to
+            # stamp — the caller replays this (no-op) batch next run
+            return 0
+        if has_dead:
+            self.remove(dead, extra_meta=None if has_live else extra_meta)
+        if has_live:
+            if self.version() == 0:
+                self.build(live, extra_meta=extra_meta)
+            else:
+                self.add(live, strict=False, extra_meta=extra_meta)
+        elif not has_dead and extra_meta:
+            with self._st.mutate():
+                m = self._st.manifest()
+                m.update(extra_meta)
+                self._st.commit(m)
         return self.version()
 
     def compact(self) -> int:
@@ -220,7 +264,7 @@ class IVFIndex:
         survive. See `VersionedState.expire`."""
         return self._st.expire(keep_last, protect=("centroids",))
 
-    def remove(self, ids: DataFrame) -> int:
+    def remove(self, ids: DataFrame, extra_meta: dict | None = None) -> int:
         """Tombstone vectors out of every later search. The stamp
         suppresses only list batches ≤ the current version, so a later
         add() of the same id (vector update) stays visible."""
@@ -235,6 +279,8 @@ class IVFIndex:
                 rel,
             )
             m["tombstones"] = m.get("tombstones", []) + [rel]
+            if extra_meta:
+                m.update(extra_meta)
             return self._st.commit(m)
 
     # ------------------------------------------------------------ read
@@ -288,6 +334,12 @@ class IVFIndex:
 
     def centroids(self) -> DataFrame:
         return self._st.read(["centroids"])
+
+    def vectors(self) -> DataFrame:
+        """Every LIVE indexed vector: (neighbor_id, c_vec, cid) with
+        tombstones applied — the net state `search` candidates come
+        from, and what `compact()` materializes."""
+        return self._lists(self._st.manifest())
 
     def search(
         self, queries: DataFrame, k: int = 5, n_probe: int | None = None

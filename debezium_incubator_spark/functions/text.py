@@ -160,3 +160,63 @@ def doc_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
         rolling_fingerprint(F.col(text_col)).alias("fingerprint"),
         F.lower(F.sha2(F.col(text_col), 256)).alias("sha256"),
     )
+
+
+def with_hashed_ngram_embedding(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "embedding",
+    dim: int = 64,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Append a feature-hashed word-n-gram embedding (the hashing trick,
+    Weinberger et al. 2009): every distinct shingle lands in dimension
+    ``pmod(xxhash64(s), dim)`` with a ±1 sign hash, summed, then
+    L2-normalized — so cosine over the output approximates n-gram-set
+    Jaccard structure. A PURE PROJECTION: no shuffle, no Python, fully
+    whole-stage-codegen (asserted in tests) — at 100 TB embedding
+    generation rides the same scan as the rest of the row transforms.
+    This is the deterministic stand-in for a neural encoder; a real
+    model swaps in as a mapInPandas stage with the same (id, vector)
+    contract (`multimodal.py` documents that seam).
+
+    NULL text → NULL embedding (delete images); empty/short text → the
+    zero vector. Reuses the re-evaluation-safe shingle pipeline
+    (`dedup_text.shingles_from_tokens` — see its Catalyst notes)."""
+    from debezium_incubator_spark.functions.dedup_text import (
+        _tokens,
+        shingles_from_tokens,
+    )
+
+    sh = (
+        df.withColumn("__tk", _tokens(F.col(text_col)))
+        .withColumn("__sh", shingles_from_tokens(F.col("__tk"), shingle_n))
+        .drop("__tk")
+    )
+
+    def sign(s):
+        return F.when(
+            F.pmod(F.xxhash64(s, F.lit("sign")), F.lit(2)) == 0, F.lit(1.0)
+        ).otherwise(F.lit(-1.0))
+
+    folded = sh.withColumn(
+        "__e",
+        F.aggregate(
+            F.col("__sh"),
+            F.array_repeat(F.lit(0.0), dim),
+            # O(dim) cheap hash re-evals per shingle — never a reference
+            # back into the shingle pipeline itself
+            lambda acc, s: F.transform(
+                acc,
+                lambda x, i: x
+                + F.when(F.pmod(F.xxhash64(s), F.lit(dim)) == i, sign(s)).otherwise(
+                    F.lit(0.0)
+                ),
+            ),
+        ),
+    ).drop("__sh")
+    norm = F.sqrt(F.aggregate(F.col("__e"), F.lit(0.0), lambda a, x: a + x * x))
+    return folded.withColumn(
+        out_col,
+        F.transform(F.col("__e"), lambda x: x / F.greatest(norm, F.lit(1e-12))),
+    ).drop("__e")

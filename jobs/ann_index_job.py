@@ -1,20 +1,23 @@
-"""spark-submit entry point: maintain a duplicate-cluster index from the
-CDC changelog — the training-data pipeline consuming the engine's feed.
+"""spark-submit entry point: maintain a durable IVF ANN index from the
+CDC changelog — the embedding side of the training-data pipeline (the
+dedup side is jobs/dedup_index_job.py).
 
     cd /root/repo && zip -qr /tmp/engine.zip debezium_incubator_spark
     spark-submit --master <cluster> --py-files /tmp/engine.zip \
-        jobs/dedup_index_job.py \
-        --index /data/dedup_index --changelog /data/changelog \
-        --min-overlap 3 --offsets-per-epoch 5000000
+        jobs/ann_index_job.py \
+        --index /data/ann_index --changelog /data/changelog \
+        --dim 64 --n-centroids 16 --offsets-per-epoch 5000000
 
 Consumes (repo, path, after.content, op, offset) envelopes in offset
 order: per epoch, events are LWW-collapsed per key (window row_number
 by offset, ≙ operators/dedup.lww_latest), keyed as
-``doc_id = xxhash64(repo, path)`` (labels only need uniqueness +
-ordering; a 64-bit collision over repo paths is ~never, and
-deterministic either way), and fed to
-`IncrementalDedupIndex.apply_changes` — inserts index, updates take
-remove-then-re-add, deletes purge.
+``vec_id = xxhash64(repo, path)``, embedded with the deterministic
+feature-hashed n-gram encoder (`functions/text.py:
+with_hashed_ngram_embedding` — a pure projection riding the changelog
+scan; a neural encoder swaps in as a mapInPandas stage with the same
+(id, vector) contract), and fed to `IVFIndex.apply_changes` — the
+FIRST live batch trains the frozen centroids, later batches append
+against them, updates take remove-then-re-add, deletes tombstone.
 
 Exactly-once: the consumed-through position rides the SAME manifest
 commit as the batch's final mutation (``extra_meta={"stream_pos": hi}``
@@ -22,6 +25,11 @@ commit as the batch's final mutation (``extra_meta={"stream_pos": hi}``
 mid-batch replays the whole batch on restart: the re-remove is
 idempotent and the re-add's rows land past the fresh tombstone stamp.
 Safe to re-run any time; a fully-caught-up run is a no-op.
+
+``--compact`` folds the accumulated list batches + tombstones into one
+partitioned batch after catch-up and reclaims superseded state dirs
+(``--expire-keep`` versions retained) — run it periodically or the
+per-batch scan fan-out grows without bound.
 """
 
 from __future__ import annotations
@@ -34,9 +42,10 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--index", required=True)
     p.add_argument("--changelog", required=True)
-    p.add_argument("--min-overlap", type=int)
-    p.add_argument("--threshold", type=float)
-    p.add_argument("--df-cap", type=int)
+    p.add_argument("--dim", type=int, default=64)
+    p.add_argument("--shingle-n", type=int, default=3)
+    p.add_argument("--n-centroids", type=int, default=16)
+    p.add_argument("--n-probe", type=int, default=4)
     p.add_argument("--offsets-per-epoch", type=int, default=1_000_000)
     p.add_argument("--table", help="optional source.table filter")
     p.add_argument("--compact", action="store_true")
@@ -46,18 +55,16 @@ def main():
     from pyspark.sql import SparkSession, Window
     from pyspark.sql import functions as F
 
-    from debezium_incubator_spark.functions.dedup_incremental import (
-        IncrementalDedupIndex,
-    )
+    from debezium_incubator_spark.functions.ann_index import IVFIndex
+    from debezium_incubator_spark.functions.text import with_hashed_ngram_embedding
     from debezium_incubator_spark.sources.changelog import ParquetChangelog
 
-    spark = SparkSession.builder.appName("dedup-index-maintain").getOrCreate()
-    idx = IncrementalDedupIndex(
+    spark = SparkSession.builder.appName("ann-index-maintain").getOrCreate()
+    idx = IVFIndex(
         spark,
         args.index,
-        min_overlap=args.min_overlap,
-        threshold=args.threshold,
-        df_cap=args.df_cap,
+        n_centroids=args.n_centroids,
+        n_probe=args.n_probe,
     )
     cl = ParquetChangelog(args.changelog)
 
@@ -66,20 +73,14 @@ def main():
         pos = idx.meta().get("stream_pos", -1)
     epochs = 0
     # loop bound from footer stats (driver-side metadata walk, no Spark
-    # job) — an empty SLICE must advance past the gap, not end the run:
-    # an offset gap wider than --offsets-per-epoch would otherwise
-    # silently strand all later history
+    # job); empty slices advance locally past offset gaps
     top = cl.max_offset(spark)
     while pos < top:
         hi = pos + args.offsets_per_epoch
         raw = cl.range(spark, pos, hi)
-        # record the TRUE delivered-through offset of the UNFILTERED
-        # slice, not the slice bound — later-arriving files may land
-        # offsets inside (max, hi], and an all-other-tables slice must
-        # still advance rather than end the run
         hi_actual = raw.agg(F.max("offset")).first()[0]
         if hi_actual is None:
-            pos = hi  # gap: advance locally, nothing consumed to stamp
+            pos = hi
             continue
         batch = raw
         if args.table:
@@ -87,36 +88,32 @@ def main():
         batch = batch.select(
             "offset",
             "op",
-            F.xxhash64("repo", "path").alias("doc_id"),
-            F.col("after.content").alias("text"),
+            F.xxhash64("repo", "path").alias("vec_id"),
+            F.col("after.content").alias("__content"),
         )
-        # LWW per key within the epoch: the index consumes ONE row per
-        # document (apply_changes contract)
-        w = Window.partitionBy("doc_id").orderBy(F.desc("offset"))
+        w = Window.partitionBy("vec_id").orderBy(F.desc("offset"))
         latest = (
             batch.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
             .drop("__rn", "offset")
         )
+        latest = with_hashed_ngram_embedding(
+            latest, text_col="__content", dim=args.dim, shingle_n=args.shingle_n
+        ).drop("__content")
         idx.apply_changes(latest, extra_meta={"stream_pos": hi_actual})
         pos = hi_actual
         epochs += 1
 
     if args.compact and idx.version() > 0:
-        # fold the per-batch state chains + tombstones and reclaim the
-        # superseded dirs — bounded read amplification under sustained
-        # ingest (functions/dedup_incremental.py:compact)
         idx.compact()
         idx.expire(keep_last=args.expire_keep)
 
-    live = idx.clusters() if idx.version() > 0 else None
     stats = {
         "version": idx.version(),
         "stream_pos": pos,
         "epochs_applied": epochs,
-        "docs": live.count() if live is not None else 0,
-        "clusters": (
-            live.select("cluster_id").distinct().count() if live is not None else 0
+        "indexed": (
+            idx.vectors().count() if idx.version() > 0 else 0
         ),
     }
     print(json.dumps(stats))

@@ -237,3 +237,28 @@ def test_compact_fully_emptied_index(spark, tmp_path):
     assert idx.search(q, k=3).count() == 0
     idx.add(emb.filter(F.col("vec_id").between(30, 49)))
     assert idx.search(q, k=3, n_probe=16).count() > 0
+
+
+def test_apply_changes_bootstraps_empty_index_and_stamps_meta(spark, tmp_path):
+    """The resumable-consumer contract (jobs/ann_index_job.py): the
+    first live CDC batch of an EMPTY index trains the centroids;
+    extra_meta rides the batch's last commit; delete-only and empty
+    batches against an empty index commit nothing (replayed next run);
+    a no-op batch against a live index still advances the stamp."""
+    emb = _emb(spark)
+    idx = IVFIndex(spark, str(tmp_path / "ix"), init="hash_sample")
+    only_d = emb.filter(F.col("vec_id") < 3).select(
+        "vec_id", "embedding", F.lit("d").alias("op")
+    )
+    assert idx.apply_changes(only_d, extra_meta={"stream_pos": 5}) == 0
+    assert idx.version() == 0
+
+    creates = emb.filter(F.col("vec_id") < 40).select(
+        "vec_id", "embedding", F.lit("c").alias("op")
+    )
+    idx.apply_changes(creates, extra_meta={"stream_pos": 10})
+    assert idx.meta()["stream_pos"] == 10
+    assert idx.search(emb.filter(F.col("vec_id") < 2), k=3).count() > 0
+
+    idx.apply_changes(creates.limit(0), extra_meta={"stream_pos": 11})
+    assert idx.meta()["stream_pos"] == 11

@@ -273,3 +273,45 @@ def test_multi_apply_job_stream_mode_with_ddl_dir(job_fixtures, tmp_path):
     assert m["files_02"]["phase"] == "stream"
     with open(os.path.join(root, "_ddl_applied.json")) as f:
         assert json.load(f) == ["001.sql"]
+
+
+def test_ann_index_job_consumes_changelog_compacts_and_resumes(
+    spark, job_fixtures, tmp_path
+):
+    """The embedding-side consumer: maintain an IVF ANN index from the
+    CDC changelog (deterministic feature-hashed embeddings) via a
+    spark-submit-shaped subprocess. Run 1 bootstraps centroids from the
+    first epoch and appends the rest; run 2 is a no-op; run 3 with
+    --compact folds the batch/tombstone chains and the index still
+    answers searches."""
+    from pyspark.sql import functions as F
+
+    from debezium_incubator_spark.functions.ann_index import IVFIndex
+
+    d = job_fixtures
+    ix = str(tmp_path / "ix")
+    args = [
+        f"{REPO}/jobs/ann_index_job.py",
+        "--index", ix,
+        "--changelog", str(d / "changelog"),
+        "--table", "files_00",
+        "--dim", "32",
+        "--offsets-per-epoch", "300",
+    ]
+    s1 = _run(args)
+    assert s1["indexed"] > 0 and s1["epochs_applied"] >= 2
+    s2 = _run(args)
+    assert s2["epochs_applied"] == 0 and s2["indexed"] == s1["indexed"]
+
+    s3 = _run(args + ["--compact"])
+    assert s3["epochs_applied"] == 0 and s3["indexed"] == s1["indexed"]
+    idx = IVFIndex(spark, ix)
+    m = idx.meta()
+    assert len(m["lists"]) == 1 and m["tombstones"] == []
+    # the index answers: a stored vector as query finds its own id
+    probe = idx.vectors().limit(1).collect()[0]
+    q = spark.createDataFrame(
+        [(-1, probe["c_vec"])], "vec_id long, embedding array<double>"
+    )
+    top = idx.search(q, k=1, n_probe=16).first()
+    assert top is not None and top["sim"] >= 0.9999

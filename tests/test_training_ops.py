@@ -382,3 +382,50 @@ def test_ngram_skew_salted_heavy_path(spark):
     plan = lazy._jdf.queryExecution().executedPlan().toString()
     assert "__salt" in plan
     spark.catalog.clearCache()
+
+
+def test_hashed_ngram_embedding_fold_and_plan(spark, docs):
+    """Feature-hashed embedding: (a) the JVM fold equals an independent
+    Python recompute from the per-shingle hashes, (b) output is
+    L2-normalized, (c) near-dup docs score higher cosine than unrelated
+    ones, (d) the whole thing is a pure projection — no Exchange in the
+    physical plan."""
+    import numpy as np
+
+    dim = 16
+    out = tx.with_hashed_ngram_embedding(docs, dim=dim, shingle_n=3)
+    got = {r["doc_id"]: np.array(r["embedding"]) for r in out.collect()}
+
+    # independent recompute: shingle hashes via Spark expressions only
+    # (xxhash64 isn't available in Python), the FOLD in numpy
+    from debezium_incubator_spark.functions.dedup_text import _shingle_sets
+
+    sh = _shingle_sets(docs, "doc_id", "text", 3).select(
+        "id", F.explode("sh").alias("s")
+    )
+    hashes = sh.select(
+        "id",
+        F.pmod(F.xxhash64("s"), F.lit(dim)).alias("d"),
+        F.pmod(F.xxhash64("s", F.lit("sign")), F.lit(2)).alias("neg"),
+    ).collect()
+    exp = {i: np.zeros(dim) for i, _ in DOCS}
+    for r in hashes:
+        exp[r["id"]][r["d"]] += 1.0 if r["neg"] == 0 else -1.0
+    for i in exp:
+        n = np.linalg.norm(exp[i])
+        exp[i] = exp[i] / max(n, 1e-12)
+        assert np.allclose(got[i], exp[i], atol=1e-9), i
+
+    for i in (0, 1, 2, 3):
+        assert abs(np.linalg.norm(got[i]) - 1.0) < 1e-9
+    assert np.allclose(got[4], 0.0)  # empty text -> zero vector
+    cos = lambda a, b: float(np.dot(got[a], got[b]))
+    assert cos(0, 2) > 0.9999          # exact dup
+    assert cos(0, 1) > cos(0, 3)       # near-dup beats unrelated
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:1500]
+
+    # NULL text (a delete image) -> NULL embedding, not a crash
+    nul = spark.createDataFrame([(9, None)], "doc_id long, text string")
+    assert tx.with_hashed_ngram_embedding(nul, dim=dim).first()["embedding"] is None
