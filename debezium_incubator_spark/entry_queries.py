@@ -1120,7 +1120,13 @@ def q_ann_ivf_index_topk(spark, sf):
         spark, tempfile.mkdtemp(prefix="ivf_idx_"), init="hash_sample"
     )
     idx.build(emb.filter(F.col("vec_id") % 10 < 7))
-    idx.add(emb.filter(F.col("vec_id") % 10 >= 7), strict=False)
+    idx.add(emb.filter((F.col("vec_id") % 10).isin(7, 8)), strict=False)
+    # periodic maintenance mid-ingest: fold the two list batches into one
+    # partitioned batch, then keep appending — the search below reads a
+    # compacted batch PLUS a live append (functions/ann_index.py:compact;
+    # a compaction that dropped or duplicated rows flips this oracle red)
+    idx.compact()
+    idx.add(emb.filter(F.col("vec_id") % 10 == 9), strict=False)
     return idx.search(emb.filter(F.col("vec_id") < 10), k=5)
 
 
@@ -1923,6 +1929,11 @@ def q_incremental_dedup_clusters(spark, sf):
     )
     idx.build(docs.filter(part < 7))
     idx.add(docs.filter(part.isin(7, 8)), strict=False)
+    # periodic maintenance mid-ingest: fold the inv/size batch chains
+    # (dedup_incremental.py:compact) — the next add's delta-vs-stored
+    # join reads the COMPACTED store; a compaction that lost or
+    # duplicated index rows flips this oracle red
+    idx.compact()
     idx.add(docs.filter(part == 9), strict=False)
     return idx.clusters().select("doc_id", "cluster_id", "is_canonical")
 
