@@ -124,7 +124,13 @@ class VersionedState:
                         walk(x)
 
             for n in range(keep_from, v + 1):
-                with open(os.path.join(self.path, f"v{n}.json")) as f:
+                mp = os.path.join(self.path, f"v{n}.json")
+                # a previous, tighter expire may already have deleted
+                # this manifest (e.g. keep_last raised between runs with
+                # no new commits in between) — it references nothing
+                if not os.path.exists(mp):
+                    continue
+                with open(mp) as f:
                     walk(json.load(f))
             removed = []
             for name in sorted(os.listdir(self.path)):

@@ -172,10 +172,34 @@ class IVFIndex:
         ``extra_meta`` (e.g. a consumer's changelog position) rides the
         LAST commit of the batch — a crash mid-batch replays the whole
         batch (the re-remove is idempotent, the re-add lands past the
-        fresh tombstone stamp)."""
-        live = changes.filter(F.col(op_col).isin("c", "u")).select(
+        fresh tombstone stamp).
+
+        Zero-norm / NULL vectors are UNINDEXABLE: cosine against them is
+        0/0 = NaN, and Spark sorts NaN above every double, so one such
+        row would rank #1 in every search probing its list (review
+        r5-5 #1). A 'c'/'u' carrying one is treated as a delete — the
+        id is removed if indexed and never added (a later change with a
+        real vector re-adds it). Direct add()/build() keep the strict
+        contract: garbage in, garbage out — this guard is the CDC
+        bridge's."""
+        valid = F.coalesce(
+            F.exists(F.col(self.vec_col), lambda x: x != 0), F.lit(False)
+        )
+        live = changes.filter(F.col(op_col).isin("c", "u") & valid).select(
             self.id_col, self.vec_col
         )
+        # empty batch fast path: never touch the index (the dead-probe
+        # below scans every list batch — review r5-5 #4); just advance
+        # the stamp so a restart skips the covered epochs
+        if changes.limit(1).count() == 0:
+            if self.version() == 0:
+                return 0
+            if extra_meta:
+                with self._st.mutate():
+                    m = self._st.manifest()
+                    m.update(extra_meta)
+                    self._st.commit(m)
+            return self.version()
         # any change-row id that is CURRENTLY indexed supersedes its old
         # vector — not just 'u'/'d': a 'c' legitimately hits an indexed
         # id (delete+recreate LWW-collapsed to the 'c'), and adding it
@@ -187,6 +211,13 @@ class IVFIndex:
         # side, so broadcast it and keep the index scan shuffle-free —
         # the reverse orientation would shuffle (or try to broadcast)
         # the full index id column per CDC batch.
+        # pin both sides before probing: the existence probes below and
+        # the remove()/add() writes re-evaluate these frames, and a
+        # nondeterministic ``changes`` source would let the probe and
+        # the write diverge (the search-probe trap, review r5-4 #3 /
+        # r5-5 #5). live also carries the (possibly expensive) vector
+        # derivation — pinning runs it once for probe AND append.
+        live = live.localCheckpoint(eager=True)
         has_dead = False
         dead = None
         if self.version() > 0:
@@ -198,7 +229,7 @@ class IVFIndex:
                 F.broadcast(changes.select(self.id_col).distinct()),
                 self.id_col,
                 "left_semi",
-            )
+            ).localCheckpoint(eager=True)
             has_dead = bool(dead.limit(1).count())
         has_live = bool(live.limit(1).count())
         if not has_live and self.version() == 0:

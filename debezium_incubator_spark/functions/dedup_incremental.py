@@ -423,6 +423,23 @@ class IncrementalDedupIndex:
         live = changes.filter(F.col(op_col).isin("c", "u")).select(
             self.id_col, self.text_col
         )
+        # empty batch fast path: skip the clusters scan and the probes
+        # entirely (a table-filtered consumer sees many all-foreign
+        # epochs — review r5-5 #4); just advance the stamp
+        if changes.limit(1).count() == 0:
+            if self.version() == 0:
+                return 0
+            if extra_meta:
+                with self._st.mutate():
+                    m = self._manifest()
+                    m.update(extra_meta)
+                    self._commit(m)
+            return self.version()
+        # pin before probing: the existence probes and the
+        # remove()/add() writes re-evaluate these frames — a
+        # nondeterministic ``changes`` source would diverge them
+        # (review r5-4 #3 / r5-5 #5)
+        live = live.localCheckpoint(eager=True)
         # any change row whose id is CURRENTLY indexed supersedes it —
         # not just 'u'/'d': a 'c' can legitimately hit an indexed id
         # (PK-update d+c re-creates, or replayed creates), and adding it
@@ -438,6 +455,7 @@ class IncrementalDedupIndex:
                 changes.select(self.id_col)
                 .distinct()
                 .join(indexed, self.id_col, "left_semi")
+                .localCheckpoint(eager=True)
             )
         else:
             dead = live.select(self.id_col).limit(0)

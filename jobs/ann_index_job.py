@@ -70,7 +70,20 @@ def main():
 
     pos = -1
     if idx.version() > 0:
-        pos = idx.meta().get("stream_pos", -1)
+        m = idx.meta()
+        # the embedding parameters are the job's, not the index's — the
+        # IVF manifest can't validate them, so the job stamps and checks
+        # them itself: resuming with a different dim would append
+        # vectors incompatible with the frozen centroids (zip_with pads
+        # the short side with nulls → NULL sims, silently garbage)
+        for k, want in (("embed_dim", args.dim), ("embed_shingle_n", args.shingle_n)):
+            have = m.get(k)
+            if have is not None and have != want:
+                raise SystemExit(
+                    f"index at {args.index} was built with {k}={have}, "
+                    f"rerun with matching parameters (got {want})"
+                )
+        pos = m.get("stream_pos", -1)
     epochs = 0
     # loop bound from footer stats (driver-side metadata walk, no Spark
     # job); empty slices advance locally past offset gaps
@@ -100,7 +113,14 @@ def main():
         latest = with_hashed_ngram_embedding(
             latest, text_col="__content", dim=args.dim, shingle_n=args.shingle_n
         ).drop("__content")
-        idx.apply_changes(latest, extra_meta={"stream_pos": hi_actual})
+        idx.apply_changes(
+            latest,
+            extra_meta={
+                "stream_pos": hi_actual,
+                "embed_dim": args.dim,
+                "embed_shingle_n": args.shingle_n,
+            },
+        )
         pos = hi_actual
         epochs += 1
 

@@ -262,3 +262,28 @@ def test_apply_changes_bootstraps_empty_index_and_stamps_meta(spark, tmp_path):
 
     idx.apply_changes(creates.limit(0), extra_meta={"stream_pos": 11})
     assert idx.meta()["stream_pos"] == 11
+
+
+def test_apply_changes_zero_vector_is_a_delete(spark, tmp_path):
+    """Review r5-5 #1: cosine against a zero vector is 0/0 = NaN and
+    Spark sorts NaN above every double — one indexed zero vector would
+    rank #1 in every search probing its list. An unembeddable 'c'/'u'
+    (zero or NULL vector) must act as a delete: removed if indexed,
+    never added otherwise."""
+    import math
+
+    emb = _emb(spark)
+    idx = IVFIndex(spark, str(tmp_path / "ix"), init="hash_sample")
+    idx.build(emb.filter(F.col("vec_id") < 40))
+    dim = len(emb.first()["embedding"])
+    changes = spark.createDataFrame(
+        [(7, [0.0] * dim, "u"),      # indexed id becomes unembeddable
+         (5000, [0.0] * dim, "c"),   # new unembeddable id
+         (6000, None, "c")],         # NULL vector
+        "vec_id long, embedding array<double>, op string",
+    )
+    idx.apply_changes(changes)
+    ids = {r["neighbor_id"] for r in idx.vectors().select("neighbor_id").collect()}
+    assert 7 not in ids and 5000 not in ids and 6000 not in ids
+    top = idx.search(emb.filter(F.col("vec_id") < 5), k=3).collect()
+    assert top and all(not math.isnan(r["sim"]) for r in top)

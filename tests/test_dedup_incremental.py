@@ -260,6 +260,9 @@ def test_compact_preserves_state_and_future_adds(spark, tmp_path):
     assert _rows(a.clusters()) == _rows(b.clusters())
     removed = a.expire(keep_last=1)
     assert any(d.startswith("inv_batch_") for d in removed)
+    # review r5-5 #2: a LOOSER re-run must skip the already-reclaimed
+    # manifests (keep_last raised with no commits in between), not crash
+    assert a.expire(keep_last=3) == []
     for ix in (a, b):
         ix.add(docs.filter(part > 7))
     assert _rows(a.clusters()) == _rows(b.clusters())
