@@ -9,8 +9,9 @@ dedup side is jobs/dedup_index_job.py).
         --dim 64 --n-centroids 16 --offsets-per-epoch 5000000
 
 Consumes (repo, path, after.content, op, offset) envelopes in offset
-order: per epoch, events are LWW-collapsed per key (window row_number
-by offset, ≙ operators/dedup.lww_latest), keyed as
+order: per epoch, events are LWW-collapsed per key (skew-safe max_by
+hash agg — `streaming/index_sink.py` preparers, shared with the
+streaming sink, ≙ operators/dedup.lww_latest), keyed as
 ``vec_id = xxhash64(repo, path)``, embedded with the deterministic
 feature-hashed n-gram encoder (`functions/text.py:
 with_hashed_ngram_embedding` — a pure projection riding the changelog
@@ -52,12 +53,12 @@ def main():
     p.add_argument("--expire-keep", type=int, default=2)
     args = p.parse_args()
 
-    from pyspark.sql import SparkSession, Window
+    from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
     from debezium_incubator_spark.functions.ann_index import IVFIndex
-    from debezium_incubator_spark.functions.text import with_hashed_ngram_embedding
     from debezium_incubator_spark.sources.changelog import ParquetChangelog
+    from debezium_incubator_spark.streaming.index_sink import lww_embedding_changes
 
     spark = SparkSession.builder.appName("ann-index-maintain").getOrCreate()
     idx = IVFIndex(
@@ -95,24 +96,11 @@ def main():
         if hi_actual is None:
             pos = hi
             continue
-        batch = raw
-        if args.table:
-            batch = batch.filter(F.col("source.table") == args.table)
-        batch = batch.select(
-            "offset",
-            "op",
-            F.xxhash64("repo", "path").alias("vec_id"),
-            F.col("after.content").alias("__content"),
+        # LWW + feature-hash embed via the shared preparer (skew-safe
+        # max_by form) — the same derivation the streaming sink uses
+        latest = lww_embedding_changes(
+            raw, dim=args.dim, shingle_n=args.shingle_n, table=args.table
         )
-        w = Window.partitionBy("vec_id").orderBy(F.desc("offset"))
-        latest = (
-            batch.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn", "offset")
-        )
-        latest = with_hashed_ngram_embedding(
-            latest, text_col="__content", dim=args.dim, shingle_n=args.shingle_n
-        ).drop("__content")
         idx.apply_changes(
             latest,
             extra_meta={

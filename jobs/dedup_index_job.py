@@ -8,8 +8,9 @@ CDC changelog — the training-data pipeline consuming the engine's feed.
         --min-overlap 3 --offsets-per-epoch 5000000
 
 Consumes (repo, path, after.content, op, offset) envelopes in offset
-order: per epoch, events are LWW-collapsed per key (window row_number
-by offset, ≙ operators/dedup.lww_latest), keyed as
+order: per epoch, events are LWW-collapsed per key (skew-safe max_by
+hash agg — `streaming/index_sink.py` preparers, shared with the
+streaming sink, ≙ operators/dedup.lww_latest), keyed as
 ``doc_id = xxhash64(repo, path)`` (labels only need uniqueness +
 ordering; a 64-bit collision over repo paths is ~never, and
 deterministic either way), and fed to
@@ -43,13 +44,14 @@ def main():
     p.add_argument("--expire-keep", type=int, default=2)
     args = p.parse_args()
 
-    from pyspark.sql import SparkSession, Window
+    from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
     from debezium_incubator_spark.functions.dedup_incremental import (
         IncrementalDedupIndex,
     )
     from debezium_incubator_spark.sources.changelog import ParquetChangelog
+    from debezium_incubator_spark.streaming.index_sink import lww_document_changes
 
     spark = SparkSession.builder.appName("dedup-index-maintain").getOrCreate()
     idx = IncrementalDedupIndex(
@@ -81,23 +83,10 @@ def main():
         if hi_actual is None:
             pos = hi  # gap: advance locally, nothing consumed to stamp
             continue
-        batch = raw
-        if args.table:
-            batch = batch.filter(F.col("source.table") == args.table)
-        batch = batch.select(
-            "offset",
-            "op",
-            F.xxhash64("repo", "path").alias("doc_id"),
-            F.col("after.content").alias("text"),
-        )
-        # LWW per key within the epoch: the index consumes ONE row per
-        # document (apply_changes contract)
-        w = Window.partitionBy("doc_id").orderBy(F.desc("offset"))
-        latest = (
-            batch.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn", "offset")
-        )
+        # LWW per key within the epoch (skew-safe max_by form): the
+        # index consumes ONE row per document (apply_changes contract) —
+        # the same preparer the streaming sink uses
+        latest = lww_document_changes(raw, table=args.table)
         idx.apply_changes(latest, extra_meta={"stream_pos": hi_actual})
         pos = hi_actual
         epochs += 1
