@@ -191,7 +191,8 @@ def main():
         "vec_id long, embedding array<double>",
     )
     ivx = IVFIndex(spark, f"{base}/ivf", init="hash_sample", n_centroids=8)
-    ivx.build(emb)
+    ivx.build(emb.filter(F.col("vec_id") < 40))
+    ivx.add(emb.filter(F.col("vec_id") >= 40))
     p7 = plan_of(ivx.search(emb.filter(F.col("vec_id") < 3), k=3, n_probe=2))
     sections.append((
         "Durable IVF index search (partition-pruned list read)",
@@ -201,6 +202,37 @@ def main():
              r"PartitionFilters: \[cid#\d+ IN \("),
             ("no cartesian on the list join (centroids ride a broadcast row)",
              r"^(?:(?!CartesianProduct)(.|\n))*$"),
+        ],
+    ))
+
+    # 7b. the same search after compact(): ONE batch dir, zero
+    # tombstone anti-joins, pruning intact — the post-maintenance shape
+    ivx.remove(emb.filter(F.col("vec_id") % 9 == 0).select("vec_id"))
+    ivx.compact()
+    p7b = plan_of(ivx.search(emb.filter(F.col("vec_id") < 3), k=3, n_probe=2))
+    sections.append((
+        "Durable IVF index search after compact()",
+        p7b,
+        [
+            ("probed-cid set still a static partition filter",
+             r"PartitionFilters: \[cid#\d+ IN \("),
+            ("tombstone anti-joins are gone (compaction applied them)",
+             r"^(?:(?!LeftAnti)(.|\n))*$"),
+        ],
+    ))
+
+    # 8. feature-hashed n-gram embedding: a pure projection — the
+    # encoder must ride the scan with NO shuffle and NO Python worker
+    from debezium_incubator_spark.functions.text import with_hashed_ngram_embedding
+
+    p8 = plan_of(with_hashed_ngram_embedding(docs, dim=16))
+    sections.append((
+        "Feature-hashed embedding (shuffle-free, JVM-only projection)",
+        p8,
+        [
+            ("no exchange anywhere", r"^(?:(?!Exchange)(.|\n))*$"),
+            ("no Python/Arrow eval (stays in codegen)",
+             r"^(?:(?!BatchEvalPython|ArrowEvalPython)(.|\n))*$"),
         ],
     ))
 
