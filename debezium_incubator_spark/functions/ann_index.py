@@ -366,6 +366,23 @@ class IVFIndex:
     def centroids(self) -> DataFrame:
         return self._st.read(["centroids"])
 
+    def metrics(self) -> dict:
+        """Manifest-derived operator metrics — no Spark job. Duck-types
+        the M1 contract `monitoring.MetricsServer` serves: point a
+        server at a long-running index consumer with
+        ``MetricsServer(index).start()`` (/metrics + /health)."""
+        if self.version() == 0:
+            return {"phase": "empty", "version": 0}
+        m = self._st.manifest()
+        return {
+            "phase": "serving",
+            "version": self.version(),
+            "stream_pos": m.get("stream_pos", -1),
+            "list_batches": len(m["lists"]),
+            "tombstone_sets": len(m.get("tombstones", [])),
+            "n_indexed": sum(m.get("n_indexed", {}).values()),
+        }
+
     def vectors(self) -> DataFrame:
         """Every LIVE indexed vector: (neighbor_id, c_vec, cid) with
         tombstones applied — the net state `search` candidates come

@@ -607,6 +607,21 @@ class IncrementalDedupIndex:
             out = out.unionByName(p)
         return out
 
+    def metrics(self) -> dict:
+        """Manifest-derived operator metrics — no Spark job. Duck-types
+        the M1 contract `monitoring.MetricsServer` serves (see
+        `IVFIndex.metrics`)."""
+        if self.version() == 0:
+            return {"phase": "empty", "version": 0}
+        m = self._manifest()
+        return {
+            "phase": "serving",
+            "version": self.version(),
+            "stream_pos": m.get("stream_pos", -1),
+            "inv_batches": len(m["inv"]),
+            "tombstone_sets": len(m.get("tombstones", [])),
+        }
+
     def clusters(self) -> DataFrame:
         """(id_col, cluster_id, is_canonical) for every live document.
         The invariant ``cluster_id == min live member id`` holds at all

@@ -135,3 +135,37 @@ def test_streaming_ann_sink_bootstraps_and_serves(spark, changelog_parts, tmp_pa
     )
     top = idx.search(q, k=1, n_probe=16).first()
     assert top is not None and top["sim"] >= 0.9999
+
+
+def test_index_metrics_served_over_http(spark, tmp_path):
+    """Both indexes duck-type the MetricsServer source contract with
+    manifest-derived metrics (no Spark job per scrape)."""
+    import json
+    import urllib.request
+
+    from debezium_incubator_spark.monitoring import MetricsServer
+
+    idx = IncrementalDedupIndex(spark, str(tmp_path / "ix"), min_overlap=3)
+    assert idx.metrics() == {"phase": "empty", "version": 0}
+    idx.build(
+        spark.createDataFrame(
+            [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta")],
+            "doc_id long, text string",
+        ),
+        extra_meta={"stream_pos": 7},
+    )
+    server = MetricsServer(idx).start()
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{server.port}/metrics"
+        ) as r:
+            m = json.loads(r.read())
+        assert m["phase"] == "serving" and m["stream_pos"] == 7
+        assert m["inv_batches"] == 1 and m["tombstone_sets"] == 0
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{server.port}/health"
+        ) as r:
+            h = json.loads(r.read())
+        assert h["healthy"] is True
+    finally:
+        server.stop()
