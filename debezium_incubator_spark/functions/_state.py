@@ -61,15 +61,24 @@ class VersionedState:
         with open(vf) as f:
             return json.load(f)["version"]
 
-    def manifest(self) -> dict:
-        """Current manifest; raises on empty state, and on a param
-        mismatch between the stored index and the caller's constructor
-        arguments (an index answers queries ONLY under the parameters
-        it was built with)."""
-        v = self.version()
+    def manifest(self, version: int | None = None) -> dict:
+        """Current manifest (or an AS-OF one: any version not yet
+        reclaimed by `expire` stays fully readable — time-travel for
+        reproducible dataset snapshots, the lake's S2 semantics applied
+        to operator state). Raises on empty/expired state, and on a
+        param mismatch between the stored index and the caller's
+        constructor arguments (an index answers queries ONLY under the
+        parameters it was built with)."""
+        v = self.version() if version is None else version
         if v == 0:
             raise RuntimeError(f"index at {self.path} has no committed state")
-        with open(os.path.join(self.path, f"v{v}.json")) as f:
+        mp = os.path.join(self.path, f"v{v}.json")
+        if not os.path.exists(mp):
+            raise RuntimeError(
+                f"index at {self.path} has no readable version {v} "
+                "(never committed, or reclaimed by expire())"
+            )
+        with open(mp) as f:
             m = json.load(f)
         for k, want in self.params.items():
             if m["params"].get(k) != want:

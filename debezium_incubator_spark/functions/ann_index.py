@@ -383,22 +383,30 @@ class IVFIndex:
             "n_indexed": sum(m.get("n_indexed", {}).values()),
         }
 
-    def vectors(self) -> DataFrame:
+    def vectors(self, as_of: int | None = None) -> DataFrame:
         """Every LIVE indexed vector: (neighbor_id, c_vec, cid) with
         tombstones applied — the net state `search` candidates come
-        from, and what `compact()` materializes."""
-        return self._lists(self._st.manifest())
+        from, and what `compact()` materializes. ``as_of`` reads a past
+        version still on disk (time-travel; see `search`)."""
+        return self._lists(self._st.manifest(as_of))
 
     def search(
-        self, queries: DataFrame, k: int = 5, n_probe: int | None = None
+        self,
+        queries: DataFrame,
+        k: int = 5,
+        n_probe: int | None = None,
+        as_of: int | None = None,
     ) -> DataFrame:
         """(query_id, neighbor_id, rank, sim) top-k per query — the same
         output contract as `similarity.ivf_topk`. Reads ONLY the probed
         list partitions (driver collects the bounded distinct-cid set
-        and pushes it as a partition filter)."""
+        and pushes it as a partition filter). ``as_of`` answers from a
+        PAST version still on disk (anything `expire()` hasn't
+        reclaimed) — pin the exact index state a dataset was built
+        against; centroids are frozen so probing is version-invariant."""
         from pyspark.sql.window import Window
 
-        m = self._st.manifest()
+        m = self._st.manifest(as_of)
         n_probe = self.n_probe if n_probe is None else n_probe
         q = queries.select(
             F.col(self.id_col).alias("query_id"),

@@ -622,13 +622,15 @@ class IncrementalDedupIndex:
             "tombstone_sets": len(m.get("tombstones", [])),
         }
 
-    def clusters(self) -> DataFrame:
+    def clusters(self, as_of: int | None = None) -> DataFrame:
         """(id_col, cluster_id, is_canonical) for every live document.
         The invariant ``cluster_id == min live member id`` holds at all
         times (build/add maintain it; remove() relabels), so the
         canonical survivor is simply the label-bearing doc — a pure
-        projection, no shuffle."""
-        m = self._manifest()
+        projection, no shuffle. ``as_of`` reads a PAST version still on
+        disk (anything `expire()` hasn't reclaimed) — pin the exact
+        dedup state a dataset snapshot was built against."""
+        m = self._st.manifest(as_of)
         out = self._read([m["clusters"]])  # removes purged+relabeled
         return out.select(
             F.col("id").alias(self.id_col),

@@ -287,3 +287,21 @@ def test_apply_changes_zero_vector_is_a_delete(spark, tmp_path):
     assert 7 not in ids and 5000 not in ids and 6000 not in ids
     top = idx.search(emb.filter(F.col("vec_id") < 5), k=3).collect()
     assert top and all(not math.isnan(r["sim"]) for r in top)
+
+
+def test_as_of_time_travel_search(spark, tmp_path):
+    """search(as_of=v) answers from the historical list/tombstone state
+    (centroids are frozen, so probing is version-invariant); a reclaimed
+    version fails loudly."""
+    emb = _emb(spark)
+    q = emb.filter(F.col("vec_id") < 5)
+    idx = IVFIndex(spark, str(tmp_path / "ix"), init="hash_sample")
+    v1 = idx.build(emb.filter(F.col("vec_id") % 2 == 0))
+    snap = _rows(idx.search(q, k=5))
+    idx.add(emb.filter(F.col("vec_id") % 2 == 1))
+    assert _rows(idx.search(q, k=5, as_of=v1)) == snap
+    assert _rows(idx.search(q, k=5)) != snap
+    idx.compact()
+    idx.expire(keep_last=1)
+    with pytest.raises(RuntimeError):
+        idx.search(q, k=5, as_of=v1)

@@ -288,3 +288,23 @@ def test_compact_then_readd_uses_new_content(spark, tmp_path):
     idx.add(mk([(2, "one two three four five six seven")]))
     got = {r["doc_id"]: r["cluster_id"] for r in idx.clusters().collect()}
     assert got[2] == got[3] == 2 and got[1] == 1
+
+
+def test_as_of_time_travel_reads(spark, tmp_path):
+    """Any version expire() hasn't reclaimed stays queryable: clusters
+    (as_of=v) reproduces the exact historical assignment — pin the dedup
+    state a dataset snapshot was built against. Reclaimed or future
+    versions fail loudly."""
+    docs = _docs(spark)
+    part = F.pmod(F.xxhash64("doc_id", F.lit("asof")), F.lit(4))
+    idx = IncrementalDedupIndex(spark, str(tmp_path / "ix"), min_overlap=3)
+    v1 = idx.build(docs.filter(part < 3))
+    snap = _rows(idx.clusters())
+    idx.add(docs.filter(part == 3))
+    assert _rows(idx.clusters(as_of=v1)) == snap
+    assert _rows(idx.clusters()) != snap  # the corpus really grew
+    with pytest.raises(RuntimeError):
+        idx.clusters(as_of=99)
+    idx.expire(keep_last=1)
+    with pytest.raises(RuntimeError):
+        idx.clusters(as_of=v1)  # reclaimed
