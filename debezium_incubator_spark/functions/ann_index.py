@@ -146,7 +146,7 @@ class IVFIndex:
     ) -> int:
         vnew = self._st.version() + 1
         rel = f"lists_batch_{vnew}"
-        assigned = self._assign(vectors)
+        assigned = self._assign(vectors, manifest.get("centroids", "centroids"))
         self._st.write(assigned, rel, partition_by="cid")
         manifest["lists"] = manifest.get("lists", []) + [rel]
         # footer-only count of what was just written — the operator's
@@ -289,10 +289,71 @@ class IVFIndex:
             m["n_indexed"] = {rel: self._st.read([rel]).count()}
             return self._st.commit(m)
 
+    def retrain(self) -> int:
+        """Re-train centroids on the LIVE corpus and re-index it — the
+        operation behind the ``n_indexed`` drift signal (the module doc's
+        'centroid drift is handled by rebuilding'). Equivalent to a
+        fresh `build()` over `vectors()` under the same params (proven
+        in tests), folded into one crash-safe commit: the new centroid
+        generation gets its OWN versioned dir named by the manifest, so
+        the pointer swing atomically pairs lists with the centroids they
+        were assigned to — past versions (as_of) keep probing with
+        theirs, and a crash mid-retrain leaves the old pairing intact.
+        Subsumes `compact()` (one net batch, tombstones applied);
+        consumer stamps (stream_pos etc.) are preserved."""
+        from pyspark import StorageLevel
+
+        with self._st.mutate():
+            m = self._st.manifest()
+            vnew = self._st.version() + 1
+            live = (
+                self._lists(m)
+                .select(
+                    F.col("neighbor_id").alias(self.id_col),
+                    F.col("c_vec").alias(self.vec_col),
+                )
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+            try:
+                n = live.count()
+                if n == 0:
+                    raise RuntimeError(
+                        "retrain() on a fully-emptied index: no corpus to "
+                        "train on (remove()/apply_changes drained it)"
+                    )
+                init, iters, sample = self._init
+                cent = _centroid_row(
+                    live, self.id_col, self.vec_col,
+                    self.params["n_centroids"], init, iters, sample,
+                )
+                cent_rel = f"centroids_v{vnew}"
+                self._st.write(
+                    cent.select(F.explode("__cents").alias("c")).select(
+                        "c.cid", "c.vec"
+                    ),
+                    cent_rel,
+                )
+                rel = f"lists_batch_{vnew}"
+                self._st.write(
+                    self._assign(live, cent_rel).repartition("cid"),
+                    rel,
+                    partition_by="cid",
+                )
+            finally:
+                live.unpersist(blocking=False)
+            m["lists"] = [rel]
+            m["tombstones"] = []
+            m["centroids"] = cent_rel
+            m["n_indexed"] = {rel: n}
+            return self._st.commit(m)
+
     def expire(self, keep_last: int = 1) -> list[str]:
         """Reclaim dirs unreferenced by the ``keep_last`` newest
-        versions (run after `compact()`); the frozen centroids always
-        survive. See `VersionedState.expire`."""
+        versions (run after `compact()`/`retrain()`); the build-time
+        ``centroids`` dir is always kept (pre-retrain manifests name it
+        implicitly), while retrained ``centroids_v{n}`` dirs live and
+        die with the manifests that reference them. See
+        `VersionedState.expire`."""
         return self._st.expire(keep_last, protect=("centroids",))
 
     def remove(self, ids: DataFrame, extra_meta: dict | None = None) -> int:
@@ -316,8 +377,8 @@ class IVFIndex:
 
     # ------------------------------------------------------------ read
 
-    def _centroid_broadcast(self) -> DataFrame:
-        cdf = self._st.read(["centroids"])
+    def _centroid_broadcast(self, cent_rel: str = "centroids") -> DataFrame:
+        cdf = self._st.read([cent_rel])
         return F.broadcast(
             cdf.agg(
                 F.collect_list(
@@ -326,7 +387,7 @@ class IVFIndex:
             )
         )
 
-    def _assign(self, vectors: DataFrame) -> DataFrame:
+    def _assign(self, vectors: DataFrame, cent_rel: str = "centroids") -> DataFrame:
         """(neighbor_id, c_vec, cid): argmax-centroid assignment with the
         exact `ivf_topk` tie-break (max sim, then max cid)."""
         c = vectors.select(
@@ -334,7 +395,7 @@ class IVFIndex:
             F.col(self.vec_col).cast("array<double>").alias("c_vec"),
         )
         return (
-            c.crossJoin(self._centroid_broadcast())
+            c.crossJoin(self._centroid_broadcast(cent_rel))
             .withColumn(
                 "cid",
                 F.array_max(_centroid_sims(F.col("c_vec"), F.col("__cents")))["cid"],
@@ -363,8 +424,9 @@ class IVFIndex:
             df = df.unionByName(p)
         return df
 
-    def centroids(self) -> DataFrame:
-        return self._st.read(["centroids"])
+    def centroids(self, as_of: int | None = None) -> DataFrame:
+        m = self._st.manifest(as_of)
+        return self._st.read([m.get("centroids", "centroids")])
 
     def metrics(self) -> dict:
         """Manifest-derived operator metrics — no Spark job. Duck-types
@@ -403,7 +465,9 @@ class IVFIndex:
         and pushes it as a partition filter). ``as_of`` answers from a
         PAST version still on disk (anything `expire()` hasn't
         reclaimed) — pin the exact index state a dataset was built
-        against; centroids are frozen so probing is version-invariant."""
+        against; each version probes with ITS OWN centroid generation
+        (the manifest names the centroid dir, so reads across a
+        retrain() stay consistent)."""
         from pyspark.sql.window import Window
 
         m = self._st.manifest(as_of)
@@ -413,7 +477,7 @@ class IVFIndex:
             F.col(self.vec_col).cast("array<double>").alias("q_vec"),
         )
         probes = (
-            q.crossJoin(self._centroid_broadcast())
+            q.crossJoin(self._centroid_broadcast(m.get("centroids", "centroids")))
             .withColumn(
                 "cid",
                 F.explode(

@@ -305,3 +305,33 @@ def test_as_of_time_travel_search(spark, tmp_path):
     idx.expire(keep_last=1)
     with pytest.raises(RuntimeError):
         idx.search(q, k=5, as_of=v1)
+
+
+def test_retrain_matches_fresh_build_over_live_corpus(spark, tmp_path):
+    """retrain() == a fresh build() over the live corpus under the same
+    params (centroids re-trained, lists re-assigned, tombstones folded);
+    past versions keep answering with their OWN centroid generation, and
+    post-retrain appends assign against the new one."""
+    emb = _emb(spark)
+    q = emb.filter(F.col("vec_id") < 10)
+    idx = IVFIndex(spark, str(tmp_path / "a"), init="hash_sample")
+    idx.build(emb.filter(F.col("vec_id") % 3 == 0))
+    idx.add(emb.filter(F.col("vec_id") % 3 == 1))
+    idx.remove(emb.filter(F.col("vec_id") % 11 == 0).select("vec_id"))
+    pre = _rows(idx.search(q, k=5))
+    v_pre = idx.version()
+    idx.retrain()
+
+    live = emb.filter((F.col("vec_id") % 3 < 2) & (F.col("vec_id") % 11 != 0))
+    fresh = IVFIndex(spark, str(tmp_path / "b"), init="hash_sample")
+    fresh.build(live)
+    assert _rows(idx.search(q, k=5)) == _rows(fresh.search(q, k=5))
+
+    m = idx._st.manifest()
+    assert m["lists"] == [f"lists_batch_{idx.version()}"]
+    assert m["tombstones"] == [] and m["centroids"].startswith("centroids_v")
+    assert _rows(idx.search(q, k=5, as_of=v_pre)) == pre
+
+    idx.add(emb.filter(F.col("vec_id") % 3 == 2))
+    fresh.add(emb.filter(F.col("vec_id") % 3 == 2))
+    assert _rows(idx.search(q, k=5)) == _rows(fresh.search(q, k=5))
