@@ -30,7 +30,9 @@ Safe to re-run any time; a fully-caught-up run is a no-op.
 ``--compact`` folds the accumulated list batches + tombstones into one
 partitioned batch after catch-up and reclaims superseded state dirs
 (``--expire-keep`` versions retained) — run it periodically or the
-per-batch scan fan-out grows without bound.
+per-batch scan fan-out grows without bound. ``--retrain`` additionally
+re-trains the centroids on the live corpus (use when the appended mass
+``n_indexed`` says the frozen build-time centroids have drifted).
 """
 
 from __future__ import annotations
@@ -50,6 +52,7 @@ def main():
     p.add_argument("--offsets-per-epoch", type=int, default=1_000_000)
     p.add_argument("--table", help="optional source.table filter")
     p.add_argument("--compact", action="store_true")
+    p.add_argument("--retrain", action="store_true")
     p.add_argument("--expire-keep", type=int, default=2)
     args = p.parse_args()
 
@@ -112,8 +115,11 @@ def main():
         pos = hi_actual
         epochs += 1
 
-    if args.compact and idx.version() > 0:
-        idx.compact()
+    if idx.version() > 0 and (args.compact or args.retrain):
+        # --retrain answers the n_indexed drift signal (fresh centroid
+        # generation over the live corpus, subsumes --compact); plain
+        # --compact just folds the batch/tombstone chains
+        idx.retrain() if args.retrain else idx.compact()
         idx.expire(keep_last=args.expire_keep)
 
     stats = {

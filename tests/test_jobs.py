@@ -315,3 +315,10 @@ def test_ann_index_job_consumes_changelog_compacts_and_resumes(
     )
     top = idx.search(q, k=1, n_probe=16).first()
     assert top is not None and top["sim"] >= 0.9999
+
+    # run 4: --retrain rotates the centroid generation in place —
+    # indexed mass unchanged, manifest points at a versioned centroid dir
+    s4 = _run(args + ["--retrain"])
+    assert s4["epochs_applied"] == 0 and s4["indexed"] == s1["indexed"]
+    m4 = IVFIndex(spark, ix).meta()
+    assert m4["centroids"].startswith("centroids_v")
