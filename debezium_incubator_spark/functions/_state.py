@@ -98,6 +98,21 @@ class VersionedState:
         )
         return v
 
+    def metrics_base(self) -> dict:
+        """The metrics shell both durable indexes share (review r5-6 #4)
+        — manifest-derived, no Spark job; each index adds its own
+        batch-chain keys on top."""
+        v = self.version()
+        if v == 0:
+            return {"phase": "empty", "version": 0}
+        m = self.manifest()
+        return {
+            "phase": "serving",
+            "version": v,
+            "stream_pos": m.get("stream_pos", -1),
+            "tombstone_sets": len(m.get("tombstones", [])),
+        }
+
     def expire(self, keep_last: int = 1, protect: tuple = ()) -> list[str]:
         """Reclaim disk: delete state dirs referenced by NO retained
         manifest, plus the superseded ``v{N}.json`` manifests themselves.

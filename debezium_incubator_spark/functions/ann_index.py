@@ -433,17 +433,12 @@ class IVFIndex:
         the M1 contract `monitoring.MetricsServer` serves: point a
         server at a long-running index consumer with
         ``MetricsServer(index).start()`` (/metrics + /health)."""
-        if self.version() == 0:
-            return {"phase": "empty", "version": 0}
-        m = self._st.manifest()
-        return {
-            "phase": "serving",
-            "version": self.version(),
-            "stream_pos": m.get("stream_pos", -1),
-            "list_batches": len(m["lists"]),
-            "tombstone_sets": len(m.get("tombstones", [])),
-            "n_indexed": sum(m.get("n_indexed", {}).values()),
-        }
+        b = self._st.metrics_base()
+        if b["version"]:
+            m = self._st.manifest()
+            b["list_batches"] = len(m["lists"])
+            b["n_indexed"] = sum(m.get("n_indexed", {}).values())
+        return b
 
     def vectors(self, as_of: int | None = None) -> DataFrame:
         """Every LIVE indexed vector: (neighbor_id, c_vec, cid) with

@@ -611,16 +611,10 @@ class IncrementalDedupIndex:
         """Manifest-derived operator metrics — no Spark job. Duck-types
         the M1 contract `monitoring.MetricsServer` serves (see
         `IVFIndex.metrics`)."""
-        if self.version() == 0:
-            return {"phase": "empty", "version": 0}
-        m = self._manifest()
-        return {
-            "phase": "serving",
-            "version": self.version(),
-            "stream_pos": m.get("stream_pos", -1),
-            "inv_batches": len(m["inv"]),
-            "tombstone_sets": len(m.get("tombstones", [])),
-        }
+        b = self._st.metrics_base()
+        if b["version"]:
+            b["inv_batches"] = len(self._manifest()["inv"])
+        return b
 
     def clusters(self, as_of: int | None = None) -> DataFrame:
         """(id_col, cluster_id, is_canonical) for every live document.

@@ -19,6 +19,15 @@ that raises `stream.OutOfOrderDeliveryError`, exactly like
 `StreamingCDC`: re-deliver in order or drive the offset-sliced batch
 jobs, which read ranges in offset order by construction.
 
+Documented blind spot (shared with `StreamingCDC` and the engine's D1
+marks, ADVICE r4 #4): a batch WHOLLY below the stamp whose offsets were
+never actually delivered — a delivery-contract violation where a whole
+late segment jumps the queue without straddling the stamp — is
+indistinguishable from a legitimate redelivery and is absorbed
+silently. The changelog contract (segments land in offset order;
+duplicate offsets are byte-identical) is what rules it out; a feed that
+cannot promise ordered segment arrival should use the batch jobs.
+
 Both indexes share the ``apply_changes(changes, extra_meta=...)`` /
 ``meta()`` contract, so one sink serves either; the ``prepare``
 callable maps raw envelope rows to the index's change schema (the two
@@ -82,7 +91,14 @@ class StreamingIndexMaintenance:
     ``index`` is an `IncrementalDedupIndex` or `IVFIndex` (anything with
     ``version()``, ``meta()`` and ``apply_changes``); ``prepare`` maps a
     raw micro-batch (already cut to never-consumed offsets) to the
-    index's change schema, ONE row per id, carrying ``op``."""
+    index's change schema, ONE row per id, carrying ``op``.
+
+    ``extra_meta`` rides every commit AND is validated against the
+    stored manifest at start() — stamp the preparer's semantic
+    parameters here (e.g. ``{"embed_dim": 32, "embed_shingle_n": 3}``
+    with `lww_embedding_changes`) so a resume under different ones
+    fails loudly instead of appending incompatible vectors, the same
+    guard jobs/ann_index_job.py enforces (review r5-6 #2)."""
 
     def __init__(
         self,
@@ -92,6 +108,7 @@ class StreamingIndexMaintenance:
         prepare: Callable[[DataFrame], DataFrame],
         max_files_per_trigger: int = 8,
         payload_fields: list[tuple[str, str]] | None = None,
+        extra_meta: dict | None = None,
     ):
         self.index = index
         self.changelog_dir = changelog_dir
@@ -99,6 +116,7 @@ class StreamingIndexMaintenance:
         self.prepare = prepare
         self.max_files_per_trigger = max_files_per_trigger
         self.schema = changelog_schema(payload_fields)
+        self.extra_meta = dict(extra_meta or {})
 
     def _position(self) -> int:
         if self.index.version() == 0:
@@ -124,7 +142,8 @@ class StreamingIndexMaintenance:
                 f"batch spans index stream_pos={last}: offsets [{lo}, {top}]"
             )
         self.index.apply_changes(
-            self.prepare(batch_df), extra_meta={"stream_pos": top}
+            self.prepare(batch_df),
+            extra_meta={**self.extra_meta, "stream_pos": top},
         )
 
     def start(
@@ -136,6 +155,16 @@ class StreamingIndexMaintenance:
         """``available_now=True`` drains the directory and stops;
         ``processing_time`` watches it indefinitely (stop with
         ``q.stop()``)."""
+        if self.index.version() > 0 and self.extra_meta:
+            m = self.index.meta()
+            for k, want in self.extra_meta.items():
+                have = m.get(k)
+                if have is not None and have != want:
+                    raise ValueError(
+                        f"index at version {self.index.version()} carries "
+                        f"{k}={have!r}; this sink would write {want!r} — "
+                        "mismatched preparer parameters corrupt the index"
+                    )
         if processing_time is not None:
             available_now = False
         reader = (

@@ -169,3 +169,47 @@ def test_index_metrics_served_over_http(spark, tmp_path):
         assert h["healthy"] is True
     finally:
         server.stop()
+
+
+def test_mixed_batch_raises_and_extra_meta_guard(spark, changelog_parts, tmp_path):
+    """Review r5-6 #2/#3: (a) a batch STRADDLING the manifest stamp
+    (old + new files grouped by a wiped checkpoint) must raise
+    OutOfOrderDeliveryError, not silently filter; (b) a sink whose
+    stamped preparer parameters mismatch the stored index refuses to
+    start."""
+    d = changelog_parts
+    cl = str(tmp_path / "cl")
+    _stage(str(d / "p1"), cl)
+    idx = IncrementalDedupIndex(spark, str(tmp_path / "ix"), min_overlap=3)
+    sink = StreamingIndexMaintenance(
+        idx, cl, str(tmp_path / "ck"),
+        prepare=lww_document_changes, max_files_per_trigger=1000,
+    )
+    sink.start(spark, available_now=True).awaitTermination(120)
+    v = idx.version()
+
+    _stage(str(d / "p2"), cl)
+    sink.stream_checkpoint_dir = str(tmp_path / "ck2")  # wiped → one batch
+    q = sink.start(spark, available_now=True)
+    with pytest.raises(Exception) as ei:
+        q.awaitTermination(120)
+    assert "spans index stream_pos" in str(ei.value)
+    assert idx.version() == v  # nothing landed from the poisoned batch
+
+    cl2 = str(tmp_path / "cl2")
+    _stage(str(d / "p1"), cl2)
+    ivf = IVFIndex(spark, str(tmp_path / "ivf"))
+    s32 = StreamingIndexMaintenance(
+        ivf, cl2, str(tmp_path / "cka"),
+        prepare=lambda b: lww_embedding_changes(b, dim=32),
+        extra_meta={"embed_dim": 32},
+    )
+    s32.start(spark, available_now=True).awaitTermination(120)
+    assert ivf.meta()["embed_dim"] == 32
+    bad = StreamingIndexMaintenance(
+        ivf, cl2, str(tmp_path / "ckb"),
+        prepare=lambda b: lww_embedding_changes(b, dim=64),
+        extra_meta={"embed_dim": 64},
+    )
+    with pytest.raises(ValueError, match="embed_dim"):
+        bad.start(spark, available_now=True)
