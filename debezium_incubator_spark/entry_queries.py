@@ -1943,3 +1943,60 @@ QUERIES["incremental_dedup_clusters"] = q_incremental_dedup_clusters
 # The incremental path must land on the batch fixpoint — the oracle is
 # the full-corpus transitive closure, verbatim from dedup_clusters.
 ORACLES["incremental_dedup_clusters"] = ORACLES["dedup_clusters"]
+
+
+def q_scd2_history(spark, sf):
+    """SCD type-2 history, built INCREMENTALLY: derive the history on
+    the first third of the log (`scd2_history`), then fold the next two
+    thirds with `scd2_apply` — which touches only keys present in each
+    batch (broadcast close-out join; the history side never shuffles,
+    operators/history.py). The oracle is the full-log window derivation
+    (lead(offset) per key; deletes close intervals but emit no row), so
+    green means incremental build+apply+apply lands exactly on the
+    batch answer. Op mapping mirrors d3_merge_effect: signup=c,
+    error=d, else u."""
+    from debezium_incubator_spark.operators.history import scd2_apply, scd2_history
+
+    ev = _events(spark, sf).select(
+        "user_id",
+        "event_id",
+        F.when(F.col("event_type") == "signup", F.lit("c"))
+        .when(F.col("event_type") == "error", F.lit("d"))
+        .otherwise(F.lit("u"))
+        .alias("op"),
+        "event_type",
+        "value",
+    )
+    # bounded scalar collect (one max) — epoch cuts by global offset
+    # thirds keep per-key offsets strictly increasing across batches,
+    # the scd2_apply delivery precondition.
+    mx = ev.agg(F.max("event_id")).first()[0]
+    c1, c2 = mx // 3, (2 * mx) // 3
+    args = (["user_id"], "event_id", ["event_type", "value"])
+    hist = scd2_history(ev.filter(F.col("event_id") <= c1), *args)
+    hist = scd2_apply(hist, ev.filter((F.col("event_id") > c1) & (F.col("event_id") <= c2)), *args)
+    hist = scd2_apply(hist, ev.filter(F.col("event_id") > c2), *args)
+    return hist.select("user_id", "valid_from", "valid_to", "is_current", "event_type", "value")
+
+
+QUERIES["scd2_history"] = q_scd2_history
+
+# Full-log derivation: lead(offset) over each key closes every version
+# at the NEXT event's offset (any op, deletes included); delete events
+# emit no version row, so a key ending in 'd' has no current version.
+ORACLES["scd2_history"] = """
+    WITH ev AS (
+      SELECT user_id, event_id,
+             CASE WHEN event_type = 'signup' THEN 'c'
+                  WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS op,
+             event_type, value
+      FROM events),
+    v AS (
+      SELECT user_id, event_id AS valid_from,
+             lead(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS valid_to,
+             op, event_type, value
+      FROM ev)
+    SELECT user_id, valid_from, valid_to,
+           (valid_to IS NULL) AS is_current, event_type, value
+    FROM v WHERE op <> 'd'
+"""
