@@ -2000,3 +2000,71 @@ ORACLES["scd2_history"] = """
            (valid_to IS NULL) AS is_current, event_type, value
     FROM v WHERE op <> 'd'
 """
+
+
+def q_incremental_agg_view(spark, sf):
+    """Incremental aggregate-view maintenance (IVM) over the CDC feed:
+    per-group count / exact-long sum / min / max of the CURRENT state,
+    maintained from three change epochs via retraction deltas
+    (operators/aggregates.py) — the old current row of every touched
+    key retracts, the new one inserts, min/max recompute only for
+    touched groups. Oracle = DuckDB group-by over the final LWW state,
+    so any missed retraction, double-count, or stale extreme flips the
+    hash. Measures are cents (round(value*100) as long) because float
+    delta-sums drift from a recompute — and because exact accumulators
+    are the right IVM design at scale anyway."""
+    from debezium_incubator_spark.operators.aggregates import agg_view, agg_view_apply
+
+    ev = _events(spark, sf).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        F.when(F.col("event_type") == "error", F.lit("d")).otherwise(F.lit("u")).alias("op"),
+    )
+    mx = ev.agg(F.max("event_id")).first()[0]
+    c1, c2 = mx // 3, (2 * mx) // 3
+    grp, meas, ext = ["event_type"], ["cents"], ["cents"]
+
+    def lww(batch):
+        return (
+            batch.groupBy("user_id")
+            .agg(F.max_by(F.struct("event_type", "cents", "op"), F.col("event_id")).alias("s"))
+            .select("user_id", "s.event_type", "s.cents", "s.op")
+        )
+
+    state = (
+        lww(ev.filter(F.col("event_id") <= c1))
+        .where(F.col("op") != "d")
+        .drop("op")
+        .localCheckpoint()
+    )
+    view = agg_view(state, grp, meas, ext).localCheckpoint()
+    for lo, hi in [(c1, c2), (c2, mx)]:
+        latest = lww(
+            ev.filter((F.col("event_id") > lo) & (F.col("event_id") <= hi))
+        ).localCheckpoint()
+        retracted = state.join(latest.select("user_id"), "user_id", "semi")
+        survivors = state.join(latest.select("user_id"), "user_id", "anti")
+        inserted = latest.where(F.col("op") != "d").drop("op")
+        state = survivors.unionByName(inserted).localCheckpoint()
+        view = agg_view_apply(view, inserted, retracted, grp, meas, ext, state=state)
+        view = view.localCheckpoint()
+    return view.select("event_type", "n_rows", "sum_cents", "min_cents", "max_cents")
+
+
+QUERIES["incremental_agg_view"] = q_incremental_agg_view
+
+# Final-state recompute: LWW current row per user (latest event; a
+# latest 'error' deletes the user), then one group-by — the fixpoint
+# the incremental fold must land on exactly.
+ORACLES["incremental_agg_view"] = """
+    WITH ranked AS (
+      SELECT user_id, event_type, round(value * 100)::BIGINT AS cents,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+      FROM events),
+    cur AS (SELECT * FROM ranked WHERE rn = 1 AND event_type <> 'error')
+    SELECT event_type, count(*)::BIGINT AS n_rows, sum(cents)::BIGINT AS sum_cents,
+           min(cents) AS min_cents, max(cents) AS max_cents
+    FROM cur GROUP BY event_type
+"""
