@@ -2068,3 +2068,37 @@ ORACLES["incremental_agg_view"] = """
            min(cents) AS min_cents, max(cents) AS max_cents
     FROM cur GROUP BY event_type
 """
+
+
+def q_event_time_rollup(spark, sf):
+    """Hourly event-time rollup (streaming/rollup.py) — the hypertable-
+    rollup family. The SAME groupBy(window) expression runs under
+    Structured Streaming with a watermark (append-mode, state bounded
+    by delay; batch==streaming and late-drop pinned in
+    tests/test_rollup.py); here the batch form is oracled against
+    DuckDB's date_trunc group-by. Partial-then-final hash agg: a hot
+    hour collapses map-side before the shuffle."""
+    from debezium_incubator_spark.streaming.rollup import windowed_rollup
+
+    ev = _events(spark, sf).select(
+        "event_type",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    out = windowed_rollup(ev, "ts", "1 hour", ["event_type"], ["cents"])
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+        "event_type",
+        "n_events",
+        "sum_cents",
+    )
+
+
+QUERIES["event_time_rollup"] = q_event_time_rollup
+
+ORACLES["event_time_rollup"] = """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+           event_type, count(*)::BIGINT AS n_events,
+           sum(round(value * 100)::BIGINT)::BIGINT AS sum_cents
+    FROM events GROUP BY 1, 2
+"""
