@@ -2102,3 +2102,141 @@ ORACLES["event_time_rollup"] = """
            sum(round(value * 100)::BIGINT)::BIGINT AS sum_cents
     FROM events GROUP BY 1, 2
 """
+
+
+CDF_ORACLE_DIR = f"/tmp/cdc_cdf_oracle_{_os.getuid()}"
+
+
+def q_lake_change_feed(spark, sf):
+    """Change-data-feed reconstruction (lake/cdf.py): run the CDC engine
+    over a deterministic changelog in SMALL epochs (one table version per
+    epoch), then reconstruct the row-level change feed of the whole
+    streamed range from the committed version chain alone — manifest
+    bucket diffs bound each step's read; a null-safe full outer join
+    classifies insert/delete/update(pre+post); CoW survivors of a bucket
+    rewrite emit nothing.
+
+    The oracle recomputes the feed INDEPENDENTLY from the generator
+    parquet: the query writes each epoch's (version, offset-boundary)
+    pair from its checkpoints to `bounds/`; DuckDB rebuilds the LWW live
+    state at every boundary straight from snapshot+changelog events and
+    diffs consecutive states — the lake table's files are never read by
+    the oracle, so bucket-diff pruning, per-version schema reads, and
+    the join classification are all under cross-engine check (same
+    write-then-read posture as cdc_pipeline_replay; contents are a pure
+    function of the generator seed)."""
+    import tempfile
+
+    from debezium_incubator_spark.lake.cdf import (
+        CHANGE_TYPE_COL,
+        COMMIT_VERSION_COL,
+        table_changes,
+    )
+    from debezium_incubator_spark.plans.pipeline import CDCEngine
+    from debezium_incubator_spark.sources.changelog import ParquetChangelog
+    from debezium_incubator_spark.sources.generator import gen_changelog, gen_source_table
+
+    base = CDF_ORACLE_DIR
+    gen_source_table(spark, n_keys=300, n_repos=10).write.mode("overwrite").parquet(
+        f"{base}/source"
+    )
+    gen_changelog(spark, n_keys=300, n_repos=10, n_slots=1200).write.mode(
+        "overwrite"
+    ).parquet(f"{base}/changelog")
+    work = tempfile.mkdtemp(prefix="cdc_cdf_")
+    eng = CDCEngine(spark, f"{work}/table", f"{work}/ckpt", num_buckets=8)
+    eng.create_target()
+    eng.bootstrap(spark.read.parquet(f"{base}/source"))
+    v_boot = eng.table.version()
+    applied = eng.run(ParquetChangelog(f"{base}/changelog"), offsets_per_epoch=300)
+
+    # version → delivered-through offset, from the per-epoch checkpoints
+    # (an epoch that committed nothing keeps its version; max() keeps
+    # the latest boundary — the state is identical at both)
+    ver_thru: dict[int, int] = {}
+    for ck in applied:
+        v = int(ck["table_version"])
+        ver_thru[v] = max(ver_thru.get(v, -1), int(ck["stream_pos"]))
+    bounds, prev = [], -1  # bootstrap state = snapshot only (offset -1)
+    for v in sorted(ver_thru):
+        bounds.append((v, prev, ver_thru[v]))
+        prev = ver_thru[v]
+    spark.createDataFrame(
+        bounds, "version long, prev_thru long, thru long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{base}/bounds")
+
+    feed = table_changes(eng.table, spark, from_version=v_boot)
+    return feed.select(
+        F.col(COMMIT_VERSION_COL).cast("long").alias("commit_version"),
+        F.col(CHANGE_TYPE_COL).alias("change_type"),
+        "repo",
+        "path",
+        "commit",
+        "lang",
+        "content_sha256",
+    )
+
+
+QUERIES["lake_change_feed"] = q_lake_change_feed
+
+# Independent recompute: LWW live state at each epoch boundary directly
+# from snapshot ∪ changelog (never the lake files), then a full-outer
+# diff of consecutive states classifies each key per version. Payload
+# compare uses (commit, lang, sha) — content ⟺ sha 1:1, so this equals
+# the engine-side full-payload compare.
+ORACLES["lake_change_feed"] = f"""
+    WITH bounds AS (
+      SELECT version, prev_thru, thru
+      FROM read_parquet('{CDF_ORACLE_DIR}/bounds/*.parquet')),
+    snap AS (
+      SELECT CAST(-1 AS BIGINT) AS o, 'r' AS op, repo, path,
+             "commit", lang, content
+      FROM read_parquet('{CDF_ORACLE_DIR}/source/*.parquet')),
+    ev AS (
+      SELECT "offset" AS o, op, repo, path, after."commit" AS "commit",
+             after.lang AS lang, after.content AS content
+      FROM read_parquet('{CDF_ORACLE_DIR}/changelog/*.parquet')),
+    allv AS (SELECT * FROM snap UNION ALL SELECT * FROM ev),
+    sides AS (
+      SELECT version, 'o' AS side, prev_thru AS bound FROM bounds
+      UNION ALL SELECT version, 'n' AS side, thru AS bound FROM bounds),
+    ranked AS (
+      SELECT s.version, s.side, a.*, row_number() OVER (
+        PARTITION BY s.version, s.side, a.repo, a.path
+        ORDER BY a.o DESC) AS rn
+      FROM sides s JOIN allv a ON a.o <= s.bound),
+    live AS (
+      SELECT version, side, repo, path, "commit", lang,
+             lower(sha256(content)) AS content_sha256
+      FROM ranked WHERE rn = 1 AND op NOT IN ('d', 't')),
+    o AS (SELECT * FROM live WHERE side = 'o'),
+    n AS (SELECT * FROM live WHERE side = 'n'),
+    j AS (
+      SELECT coalesce(o.version, n.version) AS version,
+             coalesce(o.repo, n.repo) AS repo,
+             coalesce(o.path, n.path) AS path,
+             o."commit" AS o_commit, o.lang AS o_lang,
+             o.content_sha256 AS o_sha, o.side AS o_side,
+             n."commit" AS n_commit, n.lang AS n_lang,
+             n.content_sha256 AS n_sha, n.side AS n_side
+      FROM o FULL JOIN n
+        ON o.version = n.version AND o.repo = n.repo AND o.path = n.path),
+    upd AS (
+      SELECT * FROM j
+      WHERE o_side IS NOT NULL AND n_side IS NOT NULL
+        AND (o_commit IS DISTINCT FROM n_commit
+             OR o_lang IS DISTINCT FROM n_lang
+             OR o_sha IS DISTINCT FROM n_sha))
+    SELECT version AS commit_version, 'insert' AS change_type, repo, path,
+           n_commit AS "commit", n_lang AS lang, n_sha AS content_sha256
+    FROM j WHERE o_side IS NULL
+    UNION ALL
+    SELECT version, 'delete', repo, path, o_commit, o_lang, o_sha
+    FROM j WHERE n_side IS NULL
+    UNION ALL
+    SELECT version, 'update_preimage', repo, path, o_commit, o_lang, o_sha
+    FROM upd
+    UNION ALL
+    SELECT version, 'update_postimage', repo, path, n_commit, n_lang, n_sha
+    FROM upd
+"""
