@@ -1,0 +1,167 @@
+"""Durable materialized aggregate views maintained from the lake's
+change feed.
+
+Closes the loop the reference leaves to its consumers: the CDC engine
+lands row-level state in the LakeTable; `lake/cdf.py` reconstructs the
+row-level change feed of any committed version range; this module folds
+that feed into a DURABLE per-group aggregate view (operators/
+aggregates.py algebra) with its own commit-then-pointer manifest — so a
+dashboard-style consumer reads an always-fresh aggregate without ever
+rescanning the table.
+
+Incremental refresh folds the WHOLE pending version range in ONE apply:
+update pre/post pairs telescope across versions (−a+b then −b+c sums to
+−a+c), insert-then-delete nets to zero, so count/sum deltas are exact
+for any range, and min/max recompute is bounded to the touched groups
+against the range-end table state. The refresh pins the target version
+ONCE up front — a concurrent engine commit mid-refresh lands in the
+next refresh, never half in this one.
+
+Exactly-once: the folded-through table version rides the SAME manifest
+commit as the new view state (commit-THEN-checkpoint, the engine's own
+invariant). A crash mid-refresh leaves the previous manifest current —
+the retry re-derives the identical feed from the immutable table
+versions. Parameters (group/measure/extreme columns) are stamped in the
+manifest and validated on resume: a maintainer restarted with different
+columns fails loudly instead of silently corrupting the view
+(functions/_state.py params check).
+
+Scale shape per refresh: |changed buckets of the range| reads + one
+batch-sized broadcast delta against the view; the view itself never
+shuffles. The table's `expire_versions` must retain versions back to
+the view's `folded_through` (keep_last > refresh lag) or refresh fails
+loudly and `build()` is the recovery.
+
+≙ the downstream the reference's consumers build on ChangeRecords
+(Record.java operation kinds); here the feed is derived from the
+committed version chain instead of captured in flight.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from debezium_incubator_spark.functions._state import VersionedState
+from debezium_incubator_spark.lake.cdf import CHANGE_TYPE_COL, table_changes
+from debezium_incubator_spark.lake.table import LakeTable
+from debezium_incubator_spark.operators.aggregates import agg_view, agg_view_apply
+
+_INSERTING = ("insert", "update_postimage")
+_RETRACTING = ("delete", "update_preimage")
+
+
+class MaterializedAggView:
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        table_path: str,
+        group_cols: list[str],
+        measure_cols: list[str],
+        extreme_cols: list[str] | None = None,
+        key_cols: list[str] | None = None,
+    ):
+        self.spark = spark
+        self.table = LakeTable(table_path)
+        self.group_cols = list(group_cols)
+        self.measure_cols = list(measure_cols)
+        self.extreme_cols = list(extreme_cols or [])
+        self.key_cols = key_cols
+        self.state = VersionedState(
+            spark,
+            path,
+            params={
+                "kind": "agg_view",
+                "group_cols": self.group_cols,
+                "measure_cols": self.measure_cols,
+                "extreme_cols": self.extreme_cols,
+            },
+        )
+
+    # ------------------------------------------------------------- lifecycle
+    def version(self) -> int:
+        return self.state.version()
+
+    def meta(self) -> dict:
+        return self.state.manifest()
+
+    def build(self) -> int:
+        """Full rebuild from the table's current version (also the
+        recovery path when the table expired versions past
+        ``folded_through``)."""
+        with self.state.mutate():
+            thru = self.table.version()
+            view = agg_view(
+                self.table.read(self.spark, version=thru),
+                self.group_cols,
+                self.measure_cols,
+                self.extreme_cols,
+            )
+            return self._commit(view, thru)
+
+    def refresh(self) -> dict:
+        """Fold every table version committed since ``folded_through``
+        into the view in one apply. Returns {"folded_versions": n,
+        "folded_through": v}."""
+        with self.state.mutate():
+            m = self.state.manifest()
+            from_v = m["folded_through"]
+            thru = self.table.version()
+            if thru == from_v:
+                return {"folded_versions": 0, "folded_through": from_v}
+            if thru < from_v:
+                raise RuntimeError(
+                    f"table at version {thru} is BEHIND the view's "
+                    f"folded_through {from_v} — the table was rewound or "
+                    "recreated; build() to re-derive"
+                )
+            try:
+                feed = table_changes(
+                    self.table, self.spark, from_v, thru, self.key_cols
+                )
+            except FileNotFoundError as e:
+                raise RuntimeError(
+                    f"table versions ({from_v}, {thru}] are not all "
+                    f"readable ({e}) — expire_versions reclaimed owed "
+                    "history; build() to re-derive (keep the table's "
+                    "keep_last above the refresh lag)"
+                ) from e
+            # one action feeds two filters — don't re-derive the range
+            feed = feed.localCheckpoint()
+            ins = feed.filter(F.col(CHANGE_TYPE_COL).isin(*_INSERTING))
+            ret = feed.filter(F.col(CHANGE_TYPE_COL).isin(*_RETRACTING))
+            cur = self.state.read([m["view"]])
+            post_state = (
+                self.table.read(self.spark, version=thru)
+                if self.extreme_cols
+                else None
+            )
+            view = agg_view_apply(
+                cur,
+                ins,
+                ret,
+                self.group_cols,
+                self.measure_cols,
+                self.extreme_cols,
+                state=post_state,
+            )
+            self._commit(view, thru)
+            return {"folded_versions": thru - from_v, "folded_through": thru}
+
+    def _commit(self, view: DataFrame, folded_through: int) -> int:
+        rel = f"view_v{self.state.version() + 1:05d}"
+        self.state.write(view, rel)
+        return self.state.commit({"view": rel, "folded_through": folded_through})
+
+    # ------------------------------------------------------------- reads
+    def read(self, as_of: int | None = None) -> DataFrame:
+        return self.state.read([self.state.manifest(as_of)["view"]])
+
+    def expire(self, keep_last: int = 2) -> list[str]:
+        return self.state.expire(keep_last=keep_last)
+
+    def metrics(self) -> dict:
+        out = self.state.metrics_base()
+        if out["version"]:
+            out["folded_through"] = self.state.manifest()["folded_through"]
+        return out

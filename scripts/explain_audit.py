@@ -236,6 +236,47 @@ def main():
         ],
     ))
 
+    # 9. change-data-feed step: a commit touching ONE bucket of 8 must
+    # read exactly that bucket's files at BOTH versions (manifest-level
+    # pruning — at 100 TB the untouched 99% is never even listed) and
+    # classify via a keyed full-outer join, never a cartesian
+    from pyspark.sql import types as T
+
+    from debezium_incubator_spark.lake.cdf import step_changes
+    from debezium_incubator_spark.lake.table import LakeTable
+
+    cdf_schema = T.StructType(
+        [
+            T.StructField("repo", T.StringType()),
+            T.StructField("path", T.StringType()),
+            T.StructField("v", T.LongType()),
+        ]
+    )
+    ct = LakeTable.create(
+        f"{base}/cdf_t", cdf_schema, bucket_cols=["repo", "path"], num_buckets=8
+    )
+    crows = spark.createDataFrame(
+        [(f"r{i}", f"p{i}", i) for i in range(80)], cdf_schema
+    )
+    ct.commit(ct.with_bucket(crows), replace_buckets=range(8), summary={})
+    cb0 = ct.read(spark, buckets=[0]).withColumn("v", F.col("v") + 1)
+    ct.commit(ct.with_bucket(cb0), replace_buckets=[0], summary={})
+    p9 = plan_of(step_changes(ct, spark, 2, ["repo", "path"]))
+    sections.append((
+        "Change-data-feed step (bucket-diff-pruned two-version read)",
+        p9,
+        [
+            ("scans list only the changed bucket's files",
+             r"InMemoryFileIndex \[file:[^\]]*_bucket=0[^\]]*\]"),
+            ("no other bucket's files are listed anywhere",
+             r"^(?:(?!_bucket=[1-7])(.|\n))*$"),
+            ("classification is a keyed full-outer join, no cartesian",
+             r"Join type: FullOuter"),
+            ("no cartesian product",
+             r"^(?:(?!CartesianProduct)(.|\n))*$"),
+        ],
+    ))
+
     out = ["# PLANS — physical-plan audit (generated by scripts/explain_audit.py)\n"]
     for title, plan, checks in sections:
         out.append(f"\n## {title}\n")

@@ -322,3 +322,82 @@ def test_ann_index_job_consumes_changelog_compacts_and_resumes(
     assert s4["epochs_applied"] == 0 and s4["indexed"] == s1["indexed"]
     m4 = IVFIndex(spark, ix).meta()
     assert m4["centroids"].startswith("centroids_v")
+
+
+def test_view_maintain_job_builds_and_refreshes(spark, tmp_path):
+    """The dashboard consumer: maintain a durable aggregate view from
+    the lake table's change feed via the job entry point. Run 1 builds,
+    run 2 is a caught-up no-op, run 3 folds two new versions and lands
+    on the rebuild fixpoint (count + min/max over an all-string CDC
+    table — the count-only --measure-cols shape)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from debezium_incubator_spark.lake.table import LakeTable
+
+    schema = T.StructType(
+        [
+            T.StructField("repo", T.StringType()),
+            T.StructField("path", T.StringType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+    tdir = str(tmp_path / "table")
+    t = LakeTable.create(tdir, schema, bucket_cols=["repo", "path"], num_buckets=4)
+
+    def commit_state(rows):
+        df = t.with_bucket(spark.createDataFrame(rows, schema))
+        cur = t.with_bucket(t.read(spark))
+        touched = sorted(
+            r[0]
+            for r in df.select("_bucket").union(cur.select("_bucket")).distinct().collect()
+        )
+        t.commit(
+            df.filter(F.col("_bucket").isin(touched)),
+            replace_buckets=touched,
+            summary={},
+        )
+
+    rows = [(f"r{i % 3}", f"p{i}", ["py", "go", "rs"][i % 3]) for i in range(24)]
+    commit_state(rows)
+
+    args = [
+        f"{REPO}/jobs/view_maintain_job.py",
+        "--table", tdir,
+        "--view", str(tmp_path / "view"),
+        "--group-cols", "repo",
+        "--extreme-cols", "lang",
+        "--expire-keep", "2",
+    ]
+    s1 = _run(args)
+    assert s1["action"] == "build" and s1["groups"] == 3
+
+    s2 = _run(args)
+    assert s2["action"] == "refresh" and s2["folded_versions"] == 0
+    assert s2["version"] == s1["version"]  # caught up → no commit
+
+    # two more table versions: one group emptied, one added
+    rows2 = [r for r in rows if r[0] != "r2"] + [("r9", "x", "zig")]
+    commit_state(rows2)
+    commit_state(rows2 + [("r9", "y", "ada")])
+    s3 = _run(args)
+    assert s3["action"] == "refresh" and s3["folded_versions"] == 2
+
+    got = {
+        r["repo"]: (r["n_rows"], r["min_lang"], r["max_lang"])
+        for r in spark.read.parquet(
+            str(tmp_path / "view" / f"view_v{s3['version']:05d}")
+        ).collect()
+    }
+    exp = {
+        r["repo"]: (r["n"], r["mn"], r["mx"])
+        for r in t.read(spark)
+        .groupBy("repo")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("lang").alias("mn"),
+            F.max("lang").alias("mx"),
+        )
+        .collect()
+    }
+    assert got == exp and "r2" not in got

@@ -1,0 +1,150 @@
+"""Durable materialized aggregate views maintained from the lake's
+change feed (operators/views.py): incremental refresh must land exactly
+on a fresh rebuild, survive restarts via the commit-then-pointer
+manifest, and fail loudly on parameter drift / rewound tables / expired
+history."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from debezium_incubator_spark.lake.table import BUCKET_COL, LakeTable
+from debezium_incubator_spark.operators.views import MaterializedAggView
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("v", T.LongType()),
+    ]
+)
+KEYS = ["repo", "path"]
+
+
+def _mk(spark, path, rows):
+    t = LakeTable.create(path, SCHEMA, bucket_cols=KEYS, num_buckets=4)
+    df = t.with_bucket(spark.createDataFrame(rows, SCHEMA))
+    t.commit(df, replace_buckets=range(4), summary={"epoch": 0})
+    return t
+
+
+def _commit_state(spark, t, rows):
+    """Commit ``rows`` as the full new state of every touched bucket."""
+    df = t.with_bucket(spark.createDataFrame(rows, SCHEMA))
+    cur = t.with_bucket(t.read(spark))
+    touched = sorted(
+        r[0]
+        for r in df.select(BUCKET_COL).union(cur.select(BUCKET_COL)).distinct().collect()
+    )
+    t.commit(
+        df.filter(F.col(BUCKET_COL).isin(touched)),
+        replace_buckets=touched,
+        summary={"epoch": t.version()},
+    )
+
+
+def _view(spark, tmp_path, **kw):
+    kw.setdefault("group_cols", ["repo"])
+    kw.setdefault("measure_cols", ["v"])
+    return MaterializedAggView(
+        spark, str(tmp_path / "view"), str(tmp_path / "table"), **kw
+    )
+
+
+def test_refresh_lands_on_rebuild_fixpoint(spark, tmp_path):
+    rows0 = [(f"r{i % 3}", f"p{i}", i) for i in range(30)]
+    t = _mk(spark, str(tmp_path / "table"), rows0)
+    mv = _view(spark, tmp_path, extreme_cols=["v"])
+    mv.build()
+    assert mv.meta()["folded_through"] == 1
+
+    # batch 1: updates + deletes + a brand-new group
+    s1 = [(f"r{i % 3}", f"p{i}", i * 10) for i in range(5)] + [
+        (f"r{i % 3}", f"p{i}", i) for i in range(5, 28)
+    ] + [("r9", "new1", 1000)]
+    _commit_state(spark, t, s1)
+    # batch 2: delete one key, add another — folded in the SAME refresh
+    s2 = [r for r in s1 if r[1] != "p3"] + [("r9", "new2", 2000)]
+    _commit_state(spark, t, s2)
+
+    out = mv.refresh()
+    assert out == {"folded_versions": 2, "folded_through": 3}
+    fresh = (
+        t.read(spark)
+        .groupBy("repo")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("v").cast("long").alias("sum_v"),
+            F.min("v").alias("min_v"),
+            F.max("v").alias("max_v"),
+        )
+    )
+    assert sorted(map(tuple, mv.read().collect())) == sorted(
+        map(tuple, fresh.collect())
+    )
+
+
+def test_noop_refresh_commits_nothing(spark, tmp_path):
+    _mk(spark, str(tmp_path / "table"), [("r1", "a", 1)])
+    mv = _view(spark, tmp_path)
+    mv.build()
+    v = mv.version()
+    assert mv.refresh() == {"folded_versions": 0, "folded_through": 1}
+    assert mv.version() == v  # no empty commit
+
+
+def test_group_vanishes_when_count_hits_zero(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "table"), [("r1", "a", 1), ("r2", "b", 2)])
+    mv = _view(spark, tmp_path)
+    mv.build()
+    _commit_state(spark, t, [("r2", "b", 2)])  # r1's only row deleted
+    mv.refresh()
+    assert [r["repo"] for r in mv.read().collect()] == ["r2"]
+
+
+def test_param_drift_fails_loudly(spark, tmp_path):
+    _mk(spark, str(tmp_path / "table"), [("r1", "a", 1)])
+    _view(spark, tmp_path).build()
+    drifted = _view(spark, tmp_path, group_cols=["path"])
+    with pytest.raises(ValueError, match="param mismatch"):
+        drifted.refresh()
+
+
+def test_rewound_table_fails_loudly(spark, tmp_path, monkeypatch):
+    t = _mk(spark, str(tmp_path / "table"), [("r1", "a", 1)])
+    _commit_state(spark, t, [("r1", "a", 2)])
+    mv = _view(spark, tmp_path)
+    mv.build()  # folded_through = 2
+    monkeypatch.setattr(type(t), "version", lambda self: 1)
+    with pytest.raises(RuntimeError, match="BEHIND"):
+        mv.refresh()
+
+
+def test_expired_history_fails_with_recovery_hint(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "table"), [("r1", "a", 1)])
+    mv = _view(spark, tmp_path)
+    mv.build()
+    for i in range(4):
+        _commit_state(spark, t, [("r1", "a", 10 + i)])
+    t.expire_versions(keep_last=2)  # versions (1..3] gone
+    with pytest.raises(RuntimeError, match="build\\(\\) to re-derive"):
+        mv.refresh()
+    mv.build()  # recovery: full re-derivation at the current version
+    assert mv.meta()["folded_through"] == t.version()
+    assert mv.read().collect()[0]["sum_v"] == 13
+
+
+def test_restart_resumes_from_manifest(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "table"), [("r1", "a", 1), ("r2", "b", 2)])
+    mv = _view(spark, tmp_path, extreme_cols=["v"])
+    mv.build()
+    _commit_state(spark, t, [("r1", "a", 5), ("r2", "b", 2)])
+    mv.refresh()
+    # a brand-new instance (fresh process) picks up where it left off
+    mv2 = _view(spark, tmp_path, extreme_cols=["v"])
+    assert mv2.meta()["folded_through"] == 2
+    _commit_state(spark, t, [("r1", "a", 7)])  # r2 deleted
+    assert mv2.refresh()["folded_versions"] == 1
+    got = {r["repo"]: (r["n_rows"], r["sum_v"]) for r in mv2.read().collect()}
+    assert got == {"r1": (1, 7)}
+    assert mv2.metrics()["folded_through"] == 3
