@@ -22,12 +22,13 @@ identical feed on retry — the table versions are immutable.
 Schema evolution caveat: each side is read in its OWN version's schema
 and aligned by column name (missing names → NULL), so a column rename
 surfaces as the old name deleting and the new name appearing. When a
-step changes the visible COLUMN-NAME SET (rename/add-with-backfill /
-drop), the bucket diff no longer bounds the change — every live row's
-name-space changed — so such steps widen to all populated buckets.
-Pure metadata commits with unchanged names (e.g. type widening handled
-by the reader cast) still emit nothing. This is a stricter posture than
-Delta, which simply refuses CDF across non-additive schema changes.
+step makes a visible column name VANISH (rename/drop), the bucket diff
+no longer bounds the change — every live row's name-space changed — so
+such steps widen to all populated buckets. Purely ADDITIVE steps and
+metadata commits with unchanged names (type widening) stay
+bucket-diff-bounded and emit nothing for untouched rows. This is a
+stricter posture than Delta, which simply refuses CDF across
+non-additive schema changes.
 
 ≙ the consumer-facing change stream the reference's connectors emit
 per commit (ChangeRecord envelopes, Record.java operation kinds);
@@ -51,12 +52,18 @@ def _visible_names(table: LakeTable, version: int) -> list[str]:
 
 def changed_buckets(table: LakeTable, version: int) -> list[int]:
     """Buckets whose file list differs between ``version-1`` and
-    ``version`` — a pure manifest diff, no data touched. A step that
-    changes the visible column-name set returns every populated bucket
-    (see module docstring)."""
+    ``version`` — a pure manifest diff, no data touched. A step where a
+    visible column name VANISHED (rename/drop) returns every populated
+    bucket: each live row's name-space changed table-wide. A pure ADD
+    stays bucket-diff-bounded — the new column is NULL at both versions
+    for untouched buckets, so widening would scan the whole table to
+    emit nothing."""
     m0, m1 = table.manifest(version - 1), table.manifest(version)
     keys = set(m0["buckets"]) | set(m1["buckets"])
-    if _visible_names(table, version - 1) != _visible_names(table, version):
+    vanished = set(_visible_names(table, version - 1)) - set(
+        _visible_names(table, version)
+    )
+    if vanished:
         return sorted(int(b) for b in keys if m0["buckets"].get(b) or m1["buckets"].get(b))
     return sorted(
         int(b) for b in keys if m0["buckets"].get(b) != m1["buckets"].get(b)

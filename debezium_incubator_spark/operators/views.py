@@ -116,6 +116,7 @@ class MaterializedAggView:
                     "recreated; build() to re-derive"
                 )
             try:
+                self._guard_schema_stable(from_v, thru)
                 feed = table_changes(
                     self.table, self.spark, from_v, thru, self.key_cols
                 )
@@ -147,6 +148,31 @@ class MaterializedAggView:
             )
             self._commit(view, thru)
             return {"folded_versions": thru - from_v, "folded_through": thru}
+
+    def _guard_schema_stable(self, from_v: int, thru: int) -> None:
+        """A rename/drop of a folded column inside the pending range
+        would surface in the feed as old-name deletes + new-name adds —
+        the retractions would fold under NULL group/measure values and
+        silently corrupt the view. Fail loudly instead; build() under
+        the new names is the correct posture (Delta refuses CDF across
+        non-additive schema changes for the same reason). Manifest-only
+        check, no scan. Purely ADDITIVE steps pass — a new column is
+        not in this view's stamped params."""
+        folded = set(
+            self.group_cols + self.measure_cols + self.extreme_cols
+        ) | set(self.key_cols or self.table.manifest(thru)["bucket_cols"])
+        for v in range(from_v + 1, thru + 1):
+            m0, m1 = self.table.manifest(v - 1), self.table.manifest(v)
+            n0 = {f["name"] for f in m0["schemas"][str(m0["current_schema"])]}
+            n1 = {f["name"] for f in m1["schemas"][str(m1["current_schema"])]}
+            gone = (n0 - n1) & folded
+            if gone:
+                raise RuntimeError(
+                    f"column(s) {sorted(gone)} folded by this view were "
+                    f"renamed/dropped at table version {v} — incremental "
+                    "refresh across that is not well-defined; build() "
+                    "under the current schema to re-derive"
+                )
 
     def _commit(self, view: DataFrame, folded_through: int) -> int:
         rel = f"view_v{self.state.version() + 1:05d}"

@@ -164,6 +164,16 @@ def test_rename_surfaces_as_delete_plus_add_table_wide(spark, tmp_table):
     assert post.filter(F.col("val").isNotNull() & F.col("v").isNull()).count() == 10
 
 
+def test_pure_add_column_stays_bucket_bounded(spark, tmp_table):
+    # an ADD never widens: the new column is NULL at both versions for
+    # untouched buckets, so widening would scan the table to emit nothing
+    t = _mk(spark, tmp_table, [(f"r{i}", f"p{i}", i) for i in range(10)])
+    t.add_column("extra", "string")
+    v = t.version()
+    assert changed_buckets(t, v) == []
+    assert step_changes(t, spark, v, KEYS).count() == 0
+
+
 def test_type_widening_metadata_step_emits_nothing(spark, tmp_table):
     t = _mk(spark, tmp_table, [("r1", "a", 1)])
     t.modify_column("v", "long")  # no-op widen keeps the name set

@@ -134,6 +134,26 @@ def test_expired_history_fails_with_recovery_hint(spark, tmp_path):
     assert mv.read().collect()[0]["sum_v"] == 13
 
 
+def test_rename_of_folded_column_in_range_fails_loudly(spark, tmp_path):
+    """A rename of a grouped/measured column inside the pending range
+    would fold retractions under NULL values — refresh must refuse and
+    point at build()."""
+    t = _mk(spark, str(tmp_path / "table"), [("r1", "a", 1)])
+    mv = _view(spark, tmp_path)
+    mv.build()
+    _commit_state(spark, t, [("r1", "a", 2)])
+    t.rename_column("v", "val")
+    with pytest.raises(RuntimeError, match="renamed/dropped"):
+        mv.refresh()
+    # recovery: a NEW view under the current schema
+    mv2 = MaterializedAggView(
+        spark, str(tmp_path / "view2"), str(tmp_path / "table"),
+        group_cols=["repo"], measure_cols=["val"],
+    )
+    mv2.build()
+    assert mv2.read().collect()[0]["sum_val"] == 2
+
+
 def test_restart_resumes_from_manifest(spark, tmp_path):
     t = _mk(spark, str(tmp_path / "table"), [("r1", "a", 1), ("r2", "b", 2)])
     mv = _view(spark, tmp_path, extreme_cols=["v"])
