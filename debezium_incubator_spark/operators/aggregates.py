@@ -9,11 +9,14 @@ maintenance algebra is the standard IVM one:
 * retractions (the OLD current row of every updated/deleted key)
   contribute ``-1`` / ``-measure``;
 * groups whose count reaches zero leave the view;
-* ``min``/``max`` are NOT delta-maintainable under retraction (the
-  retracted row may have been the extreme), so touched groups get a
-  bounded recompute against current state — only those groups are ever
-  rescanned, and at engine scale the group predicate prunes to their
-  buckets.
+* ``min``/``max``: inserts extend extremes algebraically
+  (least/greatest); retraction is NOT delta-maintainable only when the
+  retracted value equals the current extreme — exactly those DETHRONED
+  groups get a recompute against current state. The recompute's
+  aggregation is bounded to the dethroned groups, but the state scan is
+  not (group columns don't prune buckets) — append-only feeds never pay
+  it (pass state=None; a dethroning retraction then fails loudly at
+  runtime rather than writing stale extremes).
 
 Accumulators are EXACT (longs): floating-point delta-sums drift away
 from a recompute after enough batches, so money-like doubles should be
@@ -72,54 +75,139 @@ def agg_view_apply(
 
     ``inserted``/``retracted`` are the NEW current rows and the OLD
     current rows of the keys the batch touched (the merge path already
-    materializes both — merge.py's matched-row fetch). ``state`` is the
-    post-batch current state, required iff ``extreme_cols`` is set.
+    materializes both — merge.py's matched-row fetch).
+
+    All joins are NULL-SAFE on the group columns: a NULL group value is
+    a legitimate group (groupBy keeps it), and a name-list join would
+    never match it — the stale view row would survive every retraction
+    forever.
+
+    min/max maintenance: inserts extend extremes algebraically
+    (least/greatest — no recompute ever); a retraction triggers a
+    recompute ONLY for groups where the retracted value EQUALS the
+    current extreme (the one case retraction can't maintain). The
+    recompute aggregates ``state`` semi-joined to those groups — the
+    aggregation is bounded to the hit groups, but the state SCAN is not
+    (group columns don't prune buckets), so an extremes view pays one
+    state read per batch that dethrones an extreme. ``state`` may be
+    None when no retraction can hit an extreme (append-only feeds);
+    that contract is ENFORCED at runtime — a hit with state=None raises
+    mid-job instead of writing silently stale extremes.
     """
     extreme_cols = extreme_cols or []
-    if extreme_cols and state is None:
-        raise ValueError("extreme_cols requires the post-batch state for recompute")
 
     # a column may be both a measure and an extreme — select it once
     cols = list(dict.fromkeys(group_cols + measure_cols + extreme_cols))
     signed = inserted.select(*cols, F.lit(1).alias("_sign")).unionByName(
         retracted.select(*cols, F.lit(-1).alias("_sign"))
     )
-    delta = signed.groupBy(*group_cols).agg(
-        F.sum("_sign").alias(COUNT_COL),
-        *[
-            F.sum(F.col(c) * F.col("_sign")).cast("long").alias(f"sum_{c}")
-            for c in measure_cols
-        ],
-    )
+    ins, ret = F.col("_sign") == 1, F.col("_sign") == -1
+    aggs = [F.sum("_sign").alias(COUNT_COL)] + [
+        F.sum(F.col(c) * F.col("_sign")).cast("long").alias(f"sum_{c}")
+        for c in measure_cols
+    ]
+    for c in extreme_cols:
+        aggs += [
+            F.min(F.when(ins, F.col(c))).alias(f"_ins_min_{c}"),
+            F.max(F.when(ins, F.col(c))).alias(f"_ins_max_{c}"),
+            F.min(F.when(ret, F.col(c))).alias(f"_ret_min_{c}"),
+            F.max(F.when(ret, F.col(c))).alias(f"_ret_max_{c}"),
+        ]
+    delta = signed.groupBy(*group_cols).agg(*aggs)
+
+    v, d = view.alias("_v"), F.broadcast(delta).alias("_d")
+
+    def vc(c):
+        return F.col(f"_v.{c}")
+
+    def dc(c):
+        return F.col(f"_d.{c}")
+
+    j = v.join(d, [vc(c).eqNullSafe(dc(c)) for c in group_cols], "full")
 
     sum_cols = [f"sum_{c}" for c in measure_cols]
-    merged = view.join(F.broadcast(delta), group_cols, "full").select(
-        *group_cols,
+    sel = [F.coalesce(vc(c), dc(c)).alias(c) for c in group_cols] + [
+        (F.coalesce(vc(c), F.lit(0)) + F.coalesce(dc(c), F.lit(0))).alias(c)
+        for c in [COUNT_COL, *sum_cols]
+    ]
+    redo = F.lit(False)
+    for c in extreme_cols:
+        # algebraic candidates: view extreme ⊕ insert-side extreme
+        # (least/greatest skip NULLs — brand-new groups take the
+        # insert side outright)
+        cand_min = F.least(vc(f"min_{c}"), dc(f"_ins_min_{c}"))
+        cand_max = F.greatest(vc(f"max_{c}"), dc(f"_ins_max_{c}"))
+        # a retraction dethrones an extreme only by retracting a value
+        # that REACHES the candidate (≤/≥ defensively). Compared against
+        # the CANDIDATE, not the view value: a telescoped range can
+        # insert 5 then retract it — the insert-side max 5 must trigger
+        # the recompute too, or the stale 5 survives. NULL comparisons
+        # (no retractions / all-NULL column) read as no-hit.
+        hit = (dc(f"_ret_min_{c}") <= cand_min) | (
+            dc(f"_ret_max_{c}") >= cand_max
+        )
+        redo = redo | F.coalesce(hit, F.lit(False))
+        sel += [cand_min.alias(f"min_{c}"), cand_max.alias(f"max_{c}")]
+    merged = j.select(*sel, redo.alias("_redo")).where(F.col(COUNT_COL) > 0)
+
+    if not extreme_cols:
+        return merged.drop("_redo")
+
+    if state is None:
+        # append-only contract: enforce, don't trust — a dethroned
+        # extreme with no state to recompute from must fail the job at
+        # runtime (raise_error evaluates only on offending rows; the
+        # branch shape survives Catalyst simplification, unlike
+        # when(c, x).otherwise(x))
+        msg = F.lit(
+            "agg_view_apply: a retraction dethroned a min/max but "
+            "state=None was passed — supply the post-batch state"
+        )
+        return merged.select(
+            *group_cols,
+            COUNT_COL,
+            *sum_cols,
+            *[
+                F.when(F.col("_redo"), F.raise_error(msg))
+                .otherwise(F.col(name))
+                .alias(name)
+                for c in extreme_cols
+                for name in (f"min_{c}", f"max_{c}")
+            ],
+        )
+
+    out_cols = [c for c in merged.columns if c != "_redo"]
+    ok = merged.filter(~F.col("_redo")).select(*out_cols)
+    redo_rows = merged.filter(F.col("_redo")).alias("_m")
+    fresh = (
+        state.select(*list(dict.fromkeys(group_cols + extreme_cols)))
+        .alias("_s")
+        .join(
+            F.broadcast(redo_rows.select(*group_cols).alias("_g")),
+            [
+                F.col(f"_s.{c}").eqNullSafe(F.col(f"_g.{c}"))
+                for c in group_cols
+            ],
+            "semi",
+        )
+        .groupBy(*group_cols)
+        .agg(*_extreme_aggs(extreme_cols))
+        .alias("_f")
+    )
+    # left join: a count>0 group MUST have state rows; NULL extremes
+    # from a missing match surface a feed/state inconsistency instead
+    # of silently dropping the group
+    redone = redo_rows.join(
+        F.broadcast(fresh),
+        [F.col(f"_m.{c}").eqNullSafe(F.col(f"_f.{c}")) for c in group_cols],
+        "left",
+    ).select(
+        *[F.col(f"_m.{c}").alias(c) for c in group_cols],
+        *[F.col(f"_m.{c}").alias(c) for c in [COUNT_COL, *sum_cols]],
         *[
-            (F.coalesce(view[c], F.lit(0)) + F.coalesce(delta[c], F.lit(0))).alias(c)
-            for c in [COUNT_COL, *sum_cols]
-        ],
-        *[
-            view[name].alias(name)
+            F.col(f"_f.{name}").alias(name)
             for c in extreme_cols
             for name in (f"min_{c}", f"max_{c}")
         ],
     )
-    merged = merged.where(F.col(COUNT_COL) > 0)
-
-    if not extreme_cols:
-        return merged
-
-    # touched groups: bounded recompute of min/max against post-batch
-    # state — the one aggregate family retraction can't maintain.
-    touched = delta.select(*group_cols)
-    fresh = (
-        state.join(F.broadcast(touched), group_cols, "semi")
-        .groupBy(*group_cols)
-        .agg(*_extreme_aggs(extreme_cols))
-    )
-    untouched = merged.join(F.broadcast(touched), group_cols, "anti")
-    refreshed = merged.select(*group_cols, COUNT_COL, *sum_cols).join(
-        F.broadcast(fresh), group_cols, "inner"
-    )
-    return untouched.select(refreshed.columns).unionByName(refreshed)
+    return ok.unionByName(redone.select(ok.columns))

@@ -9,13 +9,13 @@ aggregates.py algebra) with its own commit-then-pointer manifest — so a
 dashboard-style consumer reads an always-fresh aggregate without ever
 rescanning the table.
 
-Incremental refresh folds the WHOLE pending version range in ONE apply:
-update pre/post pairs telescope across versions (−a+b then −b+c sums to
-−a+c), insert-then-delete nets to zero, so count/sum deltas are exact
-for any range, and min/max recompute is bounded to the touched groups
-against the range-end table state. The refresh pins the target version
-ONCE up front — a concurrent engine commit mid-refresh lands in the
-next refresh, never half in this one.
+Incremental refresh folds the pending version range in CHUNKS of at
+most ``max_versions_per_apply`` (update pre/post pairs telescope across
+versions — −a+b then −b+c sums to −a+c — so count/sum deltas are exact
+for any chunk size; the chunking only bounds the Spark plan, which
+grows by two scans + one join per folded version). The refresh pins
+the target version ONCE up front — a concurrent engine commit
+mid-refresh lands in the next refresh, never half in this one.
 
 Exactly-once: the folded-through table version rides the SAME manifest
 commit as the new view state (commit-THEN-checkpoint, the engine's own
@@ -28,9 +28,17 @@ columns fails loudly instead of silently corrupting the view
 
 Scale shape per refresh: |changed buckets of the range| reads + one
 batch-sized broadcast delta against the view; the view itself never
-shuffles. The table's `expire_versions` must retain versions back to
-the view's `folded_through` (keep_last > refresh lag) or refresh fails
-loudly and `build()` is the recovery.
+shuffles. With ``extreme_cols``, a chunk whose feed carries retractions
+additionally reads the chunk-end table state for the min/max recompute
+(aggregation bounded to DETHRONED groups, but the scan is O(table) —
+group columns don't prune buckets); append-only chunks skip that scan
+entirely, and a dethroning the probe missed fails loudly at runtime
+(aggregates.py's state=None contract). The table's `expire_versions`
+must retain versions back to the view's `folded_through` (keep_last >
+refresh lag) or refresh fails loudly and `build()` is the recovery. A
+DROP+CREATE of the table under an existing view is caught by a
+manifest fingerprint stamped at every commit — the recreated chain's
+versions never hash like the folded one's.
 
 ≙ the downstream the reference's consumers build on ChangeRecords
 (Record.java operation kinds); here the feed is derived from the
@@ -88,8 +96,13 @@ class MaterializedAggView:
     def build(self) -> int:
         """Full rebuild from the table's current version (also the
         recovery path when the table expired versions past
-        ``folded_through``)."""
+        ``folded_through`` or was dropped and recreated). Validates the
+        stamped parameters first when a view already exists — a rebuild
+        with drifted columns must fail loudly, not silently redefine
+        the view under every other maintainer/reader."""
         with self.state.mutate():
+            if self.state.version() > 0:
+                self.state.manifest()  # params check lives in the read
             thru = self.table.version()
             view = agg_view(
                 self.table.read(self.spark, version=thru),
@@ -99,9 +112,12 @@ class MaterializedAggView:
             )
             return self._commit(view, thru)
 
-    def refresh(self) -> dict:
+    def refresh(self, max_versions_per_apply: int = 64) -> dict:
         """Fold every table version committed since ``folded_through``
-        into the view in one apply. Returns {"folded_versions": n,
+        into the view, at most ``max_versions_per_apply`` versions per
+        Spark plan (each folded version adds two scans + a join to the
+        plan; an unmaintained view lagging thousands of engine epochs
+        must not build one giant plan). Returns {"folded_versions": n,
         "folded_through": v}."""
         with self.state.mutate():
             m = self.state.manifest()
@@ -115,39 +131,83 @@ class MaterializedAggView:
                     f"folded_through {from_v} — the table was rewound or "
                     "recreated; build() to re-derive"
                 )
+            self._guard_anchor(m)
             try:
                 self._guard_schema_stable(from_v, thru)
-                feed = table_changes(
-                    self.table, self.spark, from_v, thru, self.key_cols
-                )
             except FileNotFoundError as e:
-                raise RuntimeError(
-                    f"table versions ({from_v}, {thru}] are not all "
-                    f"readable ({e}) — expire_versions reclaimed owed "
-                    "history; build() to re-derive (keep the table's "
-                    "keep_last above the refresh lag)"
-                ) from e
-            # one action feeds two filters — don't re-derive the range
-            feed = feed.localCheckpoint()
-            ins = feed.filter(F.col(CHANGE_TYPE_COL).isin(*_INSERTING))
-            ret = feed.filter(F.col(CHANGE_TYPE_COL).isin(*_RETRACTING))
+                raise RuntimeError(self._expired_msg(from_v, thru, e)) from e
+
             cur = self.state.read([m["view"]])
-            post_state = (
-                self.table.read(self.spark, version=thru)
-                if self.extreme_cols
-                else None
-            )
-            view = agg_view_apply(
-                cur,
-                ins,
-                ret,
-                self.group_cols,
-                self.measure_cols,
-                self.extreme_cols,
-                state=post_state,
-            )
-            self._commit(view, thru)
+            lo = from_v
+            while lo < thru:
+                hi = min(lo + max_versions_per_apply, thru)
+                try:
+                    feed = table_changes(
+                        self.table, self.spark, lo, hi, self.key_cols
+                    ).localCheckpoint()  # one action feeds two filters
+                except FileNotFoundError as e:
+                    raise RuntimeError(self._expired_msg(lo, hi, e)) from e
+                ins = feed.filter(F.col(CHANGE_TYPE_COL).isin(*_INSERTING))
+                ret = feed.filter(F.col(CHANGE_TYPE_COL).isin(*_RETRACTING))
+                # min/max need the chunk-end state ONLY when something
+                # was retracted (append-only chunks skip the scan; a
+                # dethroning this probe missed raises at runtime)
+                post_state = None
+                if self.extreme_cols and not ret.isEmpty():
+                    post_state = self.table.read(self.spark, version=hi)
+                cur = agg_view_apply(
+                    cur,
+                    ins,
+                    ret,
+                    self.group_cols,
+                    self.measure_cols,
+                    self.extreme_cols,
+                    state=post_state,
+                ).localCheckpoint()
+                lo = hi
+            self._commit(cur, thru)
             return {"folded_versions": thru - from_v, "folded_through": thru}
+
+    @staticmethod
+    def _expired_msg(lo: int, hi: int, e: Exception) -> str:
+        return (
+            f"table versions ({lo}, {hi}] are not all readable ({e}) — "
+            "expire_versions reclaimed owed history, or the table was "
+            "recreated; build() to re-derive (keep the table's keep_last "
+            "above the refresh lag)"
+        )
+
+    def _manifest_sha(self, version: int) -> str:
+        import hashlib
+        import os
+
+        with open(
+            os.path.join(self.table.meta_dir, f"v{version:05d}.json"), "rb"
+        ) as f:
+            return hashlib.sha256(f.read()).hexdigest()
+
+    def _guard_anchor(self, m: dict) -> None:
+        """A DROP+CREATE whose new chain already advanced past
+        ``folded_through`` passes the BEHIND check — but its manifests
+        are not the folded chain's (data dirs carry fresh uuids), so the
+        fingerprint stamped at commit time catches it. (A v0 anchor is
+        content-identical across recreations, and that case is benign:
+        the folded base was the empty view, so folding the new chain's
+        full history from v0 is exactly a correct derivation.)"""
+        want = m.get("anchor_sha")
+        if want is None:
+            return
+        v = m["folded_through"]
+        try:
+            got = self._manifest_sha(v)
+        except FileNotFoundError as e:
+            raise RuntimeError(self._expired_msg(v, v, e)) from e
+        if got != want:
+            raise RuntimeError(
+                f"table manifest v{v} no longer matches the fingerprint "
+                "this view folded (table dropped and recreated?) — "
+                "build() to re-derive"
+            )
 
     def _guard_schema_stable(self, from_v: int, thru: int) -> None:
         """A rename/drop of a folded column inside the pending range
@@ -177,7 +237,13 @@ class MaterializedAggView:
     def _commit(self, view: DataFrame, folded_through: int) -> int:
         rel = f"view_v{self.state.version() + 1:05d}"
         self.state.write(view, rel)
-        return self.state.commit({"view": rel, "folded_through": folded_through})
+        return self.state.commit(
+            {
+                "view": rel,
+                "folded_through": folded_through,
+                "anchor_sha": self._manifest_sha(folded_through),
+            }
+        )
 
     # ------------------------------------------------------------- reads
     def read(self, as_of: int | None = None) -> DataFrame:

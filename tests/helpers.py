@@ -92,3 +92,35 @@ def state_pdf(engine, version=None):
         .sort_values(["repo", "path"])
         .reset_index(drop=True)
     )
+
+
+# ---------------------------------------------------------------- lake tables
+def mk_lake_table(spark, path, rows, schema, keys=("repo", "path"), num_buckets=4):
+    """Create a bucketed LakeTable and commit ``rows`` as version 1."""
+    from debezium_incubator_spark.lake.table import LakeTable
+
+    t = LakeTable.create(path, schema, bucket_cols=list(keys), num_buckets=num_buckets)
+    df = t.with_bucket(spark.createDataFrame(rows, schema))
+    t.commit(df, replace_buckets=range(num_buckets), summary={"epoch": 0})
+    return t
+
+
+def commit_full_state(spark, t, rows, schema):
+    """Commit ``rows`` as the FULL new state of every bucket they (or
+    the current state) occupy — a CoW rewrite like the merge path's."""
+    from pyspark.sql import functions as F
+
+    from debezium_incubator_spark.lake.table import BUCKET_COL
+
+    df = t.with_bucket(spark.createDataFrame(rows, schema))
+    cur = t.with_bucket(t.read(spark))
+    touched = sorted(
+        r[0]
+        for r in df.select(BUCKET_COL).union(cur.select(BUCKET_COL)).distinct().collect()
+    )
+    t.commit(
+        df.filter(F.col(BUCKET_COL).isin(touched)),
+        replace_buckets=touched,
+        summary={"epoch": t.version()},
+    )
+    return t.version()

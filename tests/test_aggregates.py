@@ -107,3 +107,57 @@ def test_multi_epoch_fold_matches_rebuild(spark):
             view, inserted, retracted, GRP, MEAS, EXT, state=state
         ).localCheckpoint()
     assert _pdf(view) == _pdf(agg_view(state, GRP, MEAS, EXT))
+
+
+def test_null_group_value_folds_and_vanishes(spark):
+    """NULL is a legitimate group value (groupBy keeps it); the
+    view↔delta joins must be null-safe or the NULL group's stale view
+    row survives every retraction forever (review r5-7 #2)."""
+    old = _state(spark, [(1, None, 10), (2, "a", 5)])
+    view = agg_view(old, GRP, MEAS, EXT)
+    assert len(_pdf(view)) == 2
+    inserted = _state(spark, [])
+    retracted = _state(spark, [(1, None, 10)])
+    new_state = _state(spark, [(2, "a", 5)])
+    out = agg_view_apply(view, inserted, retracted, GRP, MEAS, EXT, state=new_state)
+    assert _pdf(out) == _pdf(agg_view(new_state, GRP, MEAS, EXT))
+    assert len(_pdf(out)) == 1  # the NULL group is GONE, not stale
+
+
+def test_telescoped_insert_then_retract_dethrones(spark):
+    """A multi-version fold can insert a value and retract it in the
+    SAME batch: the retraction must be compared against the CANDIDATE
+    extremes (view ⊕ inserts), not the view's — else the phantom insert
+    survives as the max (review r5-7 follow-on)."""
+    view = agg_view(_state(spark, []), GRP, MEAS, EXT)
+    inserted = _state(spark, [(1, "a", 5), (2, "a", 3)])
+    retracted = _state(spark, [(1, "a", 5)])  # 5 never in any state
+    new_state = _state(spark, [(2, "a", 3)])
+    out = agg_view_apply(view, inserted, retracted, GRP, MEAS, EXT, state=new_state)
+    assert _pdf(out) == [["a", 1, 3, 3, 3]]
+
+
+def test_append_only_fold_needs_no_state(spark):
+    """state=None is the append-only contract: inserts extend min/max
+    algebraically, no table scan in the plan at all."""
+    old = _state(spark, [(1, "a", 10)])
+    view = agg_view(old, GRP, MEAS, EXT)
+    inserted = _state(spark, [(2, "a", 99), (3, "b", 1)])
+    out = agg_view_apply(view, inserted, _state(spark, []), GRP, MEAS, EXT, state=None)
+    assert _pdf(out) == [["a", 2, 109, 10, 99], ["b", 1, 1, 1, 1]]
+
+
+def test_dethroning_with_no_state_raises(spark):
+    """The append-only contract is ENFORCED: a retraction that
+    dethrones an extreme with state=None must fail the job, not write
+    silently stale extremes."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+
+    old = _state(spark, [(1, "a", 10), (2, "a", 99)])
+    view = agg_view(old, GRP, MEAS, EXT)
+    retracted = _state(spark, [(2, "a", 99)])
+    out = agg_view_apply(view, _state(spark, []), retracted, GRP, MEAS, EXT, state=None)
+    with pytest.raises((Py4JJavaError, PySparkException)):
+        out.collect()

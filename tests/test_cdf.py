@@ -16,7 +16,7 @@ from debezium_incubator_spark.lake.cdf import (
     step_changes,
     table_changes,
 )
-from debezium_incubator_spark.lake.table import BUCKET_COL, LakeTable
+from tests.helpers import commit_full_state, mk_lake_table
 
 SCHEMA = T.StructType(
     [
@@ -30,29 +30,11 @@ KEYS = ["repo", "path"]
 
 
 def _mk(spark, path, rows):
-    t = LakeTable.create(path, SCHEMA, bucket_cols=KEYS, num_buckets=4)
-    df = t.with_bucket(spark.createDataFrame(rows, SCHEMA))
-    t.commit(df, replace_buckets=range(4), summary={"epoch": 0})
-    return t
+    return mk_lake_table(spark, path, rows, SCHEMA, keys=KEYS)
 
 
 def _commit_state(spark, t, rows):
-    """Commit ``rows`` as the FULL new state of the buckets they (or the
-    current state) occupy — a CoW rewrite like the merge path's."""
-    df = t.with_bucket(spark.createDataFrame(rows, SCHEMA))
-    cur = t.with_bucket(t.read(spark))
-    touched = sorted(
-        r[0]
-        for r in df.select(BUCKET_COL).union(cur.select(BUCKET_COL)).distinct().collect()
-    )
-    # surviving rows of touched buckets = new rows (caller passes the
-    # full intended state, so every touched bucket's survivors are here)
-    t.commit(
-        df.filter(F.col(BUCKET_COL).isin(touched)),
-        replace_buckets=touched,
-        summary={"epoch": t.version()},
-    )
-    return t.version()
+    return commit_full_state(spark, t, rows, SCHEMA)
 
 
 def _feed(df):

@@ -333,7 +333,7 @@ def test_view_maintain_job_builds_and_refreshes(spark, tmp_path):
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
-    from debezium_incubator_spark.lake.table import LakeTable
+    from tests.helpers import commit_full_state, mk_lake_table
 
     schema = T.StructType(
         [
@@ -343,23 +343,11 @@ def test_view_maintain_job_builds_and_refreshes(spark, tmp_path):
         ]
     )
     tdir = str(tmp_path / "table")
-    t = LakeTable.create(tdir, schema, bucket_cols=["repo", "path"], num_buckets=4)
+    rows = [(f"r{i % 3}", f"p{i}", ["py", "go", "rs"][i % 3]) for i in range(24)]
+    t = mk_lake_table(spark, tdir, rows, schema)
 
     def commit_state(rows):
-        df = t.with_bucket(spark.createDataFrame(rows, schema))
-        cur = t.with_bucket(t.read(spark))
-        touched = sorted(
-            r[0]
-            for r in df.select("_bucket").union(cur.select("_bucket")).distinct().collect()
-        )
-        t.commit(
-            df.filter(F.col("_bucket").isin(touched)),
-            replace_buckets=touched,
-            summary={},
-        )
-
-    rows = [(f"r{i % 3}", f"p{i}", ["py", "go", "rs"][i % 3]) for i in range(24)]
-    commit_state(rows)
+        commit_full_state(spark, t, rows, schema)
 
     args = [
         f"{REPO}/jobs/view_maintain_job.py",

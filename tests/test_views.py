@@ -8,8 +8,8 @@ import pytest
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from debezium_incubator_spark.lake.table import BUCKET_COL, LakeTable
 from debezium_incubator_spark.operators.views import MaterializedAggView
+from tests.helpers import commit_full_state, mk_lake_table
 
 SCHEMA = T.StructType(
     [
@@ -22,25 +22,11 @@ KEYS = ["repo", "path"]
 
 
 def _mk(spark, path, rows):
-    t = LakeTable.create(path, SCHEMA, bucket_cols=KEYS, num_buckets=4)
-    df = t.with_bucket(spark.createDataFrame(rows, SCHEMA))
-    t.commit(df, replace_buckets=range(4), summary={"epoch": 0})
-    return t
+    return mk_lake_table(spark, path, rows, SCHEMA, keys=KEYS)
 
 
 def _commit_state(spark, t, rows):
-    """Commit ``rows`` as the full new state of every touched bucket."""
-    df = t.with_bucket(spark.createDataFrame(rows, SCHEMA))
-    cur = t.with_bucket(t.read(spark))
-    touched = sorted(
-        r[0]
-        for r in df.select(BUCKET_COL).union(cur.select(BUCKET_COL)).distinct().collect()
-    )
-    t.commit(
-        df.filter(F.col(BUCKET_COL).isin(touched)),
-        replace_buckets=touched,
-        summary={"epoch": t.version()},
-    )
+    commit_full_state(spark, t, rows, SCHEMA)
 
 
 def _view(spark, tmp_path, **kw):
@@ -168,3 +154,63 @@ def test_restart_resumes_from_manifest(spark, tmp_path):
     got = {r["repo"]: (r["n_rows"], r["sum_v"]) for r in mv2.read().collect()}
     assert got == {"r1": (1, 7)}
     assert mv2.metrics()["folded_through"] == 3
+
+
+def test_drop_recreate_caught_by_manifest_fingerprint(spark, tmp_path):
+    """A recreated table whose NEW chain advanced past folded_through
+    passes the BEHIND check — the anchor fingerprint must catch it or
+    diffs of an unrelated chain fold onto the old view state."""
+    import shutil
+
+    tdir = str(tmp_path / "table")
+    t = _mk(spark, tdir, [("r1", "a", 1)])
+    _commit_state(spark, t, [("r1", "a", 2)])
+    mv = _view(spark, tmp_path)
+    mv.build()  # folded_through = 2
+    shutil.rmtree(tdir)
+    t2 = _mk(spark, tdir, [("rX", "z", 100)])
+    for i in range(3):  # advance the NEW chain past folded_through
+        _commit_state(spark, t2, [("rX", "z", 100 + i)])
+    with pytest.raises(RuntimeError, match="fingerprint|recreated"):
+        mv.refresh()
+    mv.build()  # recovery re-anchors on the new chain
+    assert mv.read().collect()[0]["sum_v"] == 102
+
+
+def test_chunked_fold_equals_single_apply(spark, tmp_path):
+    """max_versions_per_apply bounds the PLAN, not the math: folding
+    1-version chunks must land exactly where one big apply does."""
+    t = _mk(spark, str(tmp_path / "table"), [(f"r{i % 3}", f"p{i}", i) for i in range(12)])
+    mv = _view(spark, tmp_path, extreme_cols=["v"])
+    mv.build()
+    states = [
+        [(f"r{i % 3}", f"p{i}", i * 2) for i in range(10)],
+        [(f"r{i % 3}", f"p{i}", i * 2) for i in range(8)] + [("r7", "n", 70)],
+        [(f"r{i % 3}", f"p{i}", i * 3) for i in range(8)],
+    ]
+    for s in states:
+        _commit_state(spark, t, s)
+    out = mv.refresh(max_versions_per_apply=1)
+    assert out == {"folded_versions": 3, "folded_through": 4}
+    fresh = (
+        t.read(spark)
+        .groupBy("repo")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("v").cast("long").alias("sum_v"),
+            F.min("v").alias("min_v"),
+            F.max("v").alias("max_v"),
+        )
+    )
+    assert sorted(map(tuple, mv.read().collect())) == sorted(map(tuple, fresh.collect()))
+
+
+def test_rebuild_with_drifted_params_fails_loudly(spark, tmp_path):
+    """build() over an existing view must validate the stamped params —
+    a fat-fingered --rebuild must not silently redefine the view under
+    every other maintainer/reader."""
+    _mk(spark, str(tmp_path / "table"), [("r1", "a", 1)])
+    _view(spark, tmp_path).build()
+    drifted = _view(spark, tmp_path, group_cols=["path"])
+    with pytest.raises(ValueError, match="param mismatch"):
+        drifted.build()
