@@ -552,16 +552,29 @@ class LakeTable:
         self.commit(df, replace_buckets=targets, summary=base)
         return sorted(targets)
 
-    def expire_versions(self, keep_last: int = 2) -> list[int]:
+    def expire_versions(
+        self, keep_last: int = 2, protect_through: int | None = None
+    ) -> list[int]:
         """GC old versions + unreferenced data dirs (reference analog:
         commit-log archive/delete post-processing, QueueProcessor.java:85-106).
+
+        ``protect_through`` is the consumer-protection floor — the same
+        "GC blocked by a lagging consumer" contract the changelog GC has
+        for lagging tables: a change-feed consumer (e.g. a materialized
+        view at ``folded_through=v``) needs every version ≥ v readable
+        to fold forward, so GC keeps from min(keep_last window, v). Pass
+        the MIN folded_through across the table's views; without it, an
+        aggressive expire forces those consumers into a full rebuild.
 
         Runs under the writer lock: a concurrent commit's freshly written
         data/vNNNNN-* dir is unreferenced until _publish, and an unlocked
         background GC could rmtree it between write and publish."""
         with self._writer_lock():
             cur = self.version()
-            keep = set(range(max(0, cur - keep_last + 1), cur + 1))
+            lo = max(0, cur - keep_last + 1)
+            if protect_through is not None:
+                lo = min(lo, max(0, int(protect_through)))
+            keep = set(range(lo, cur + 1))
             live_dirs: set[str] = set()
             for v in keep:
                 for files in self.manifest(v)["buckets"].values():

@@ -168,6 +168,36 @@ class MaterializedAggView:
             self._commit(cur, thru)
             return {"folded_versions": thru - from_v, "folded_through": thru}
 
+    def follow(
+        self,
+        poll_interval_s: float = 5.0,
+        run_until=None,
+        max_versions_per_apply: int = 64,
+    ) -> dict:
+        """Tail the table: fold new versions as they commit — the
+        continuous form of ``refresh()`` (Delta readChangeFeed-style
+        tailing without a streaming source; the engine's
+        ``run_until`` idiom). With no ``run_until`` this is a DRAIN:
+        refresh until caught up, then return (availableNow semantics).
+        ``run_until(stats)`` → True stops the loop; stats accumulates
+        {"refreshes", "folded_versions", "folded_through"}."""
+        import time
+
+        stats = {"refreshes": 0, "folded_versions": 0}
+        while True:
+            out = self.refresh(max_versions_per_apply)
+            stats["refreshes"] += 1
+            stats["folded_versions"] += out["folded_versions"]
+            stats["folded_through"] = out["folded_through"]
+            if run_until is not None:
+                if run_until(stats):
+                    return stats
+                if out["folded_versions"] == 0:
+                    time.sleep(poll_interval_s)
+            elif out["folded_versions"] == 0:
+                return stats  # drained
+        # unreachable
+
     @staticmethod
     def _expired_msg(lo: int, hi: int, e: Exception) -> str:
         return (

@@ -44,6 +44,13 @@ def main():
     )
     p.add_argument("--expire-keep", type=int, default=0,
                    help="if >0, expire superseded view states, keeping N")
+    p.add_argument("--follow", action="store_true",
+                   help="after the first refresh, keep polling the table "
+                   "and folding new versions (continuous maintenance)")
+    p.add_argument("--poll-interval", type=float, default=5.0)
+    p.add_argument("--max-refreshes", type=int, default=0,
+                   help="with --follow: stop after N refresh passes "
+                   "(0 = run until killed); handy for drains and tests")
     args = p.parse_args()
 
     from pyspark.sql import SparkSession
@@ -64,6 +71,14 @@ def main():
     if args.rebuild or mv.version() == 0:
         mv.build()
         out = {"action": "build", "folded_through": mv.meta()["folded_through"]}
+    elif args.follow:
+        stop = (
+            (lambda s: s["refreshes"] >= args.max_refreshes)
+            if args.max_refreshes > 0
+            else (lambda s: False)  # service mode: run until killed
+        )
+        res = mv.follow(poll_interval_s=args.poll_interval, run_until=stop)
+        out = {"action": "follow", **res}
     else:
         res = mv.refresh()
         out = {"action": "refresh", **res}

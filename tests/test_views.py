@@ -214,3 +214,48 @@ def test_rebuild_with_drifted_params_fails_loudly(spark, tmp_path):
     drifted = _view(spark, tmp_path, group_cols=["path"])
     with pytest.raises(ValueError, match="param mismatch"):
         drifted.build()
+
+
+def test_expire_protect_through_keeps_view_history(spark, tmp_path):
+    """expire_versions(protect_through=) is the consumer-protection
+    floor: an aggressive keep_last must not reclaim versions a lagging
+    view still needs to fold forward (the changelog GC's lagging-table
+    contract, applied to the version chain)."""
+    t = _mk(spark, str(tmp_path / "table"), [("r1", "a", 1)])
+    mv = _view(spark, tmp_path)
+    mv.build()  # folded_through = 1
+    for i in range(5):
+        _commit_state(spark, t, [("r1", "a", 10 + i)])
+    # unprotected keep_last=2 would delete v1..v4 and force a rebuild;
+    # the floor keeps everything the view still owes
+    t.expire_versions(keep_last=2, protect_through=mv.meta()["folded_through"])
+    out = mv.refresh()
+    assert out == {"folded_versions": 5, "folded_through": 6}
+    assert mv.read().collect()[0]["sum_v"] == 14
+
+
+def test_follow_drains_and_tails(spark, tmp_path):
+    """follow(): drain mode returns once caught up; with run_until it
+    keeps polling and folds versions committed BETWEEN refreshes."""
+    t = _mk(spark, str(tmp_path / "table"), [("r1", "a", 1)])
+    mv = _view(spark, tmp_path)
+    mv.build()
+    _commit_state(spark, t, [("r1", "a", 2)])
+    # drain: folds the pending version, then one caught-up pass, returns
+    stats = mv.follow(poll_interval_s=0.1)
+    assert stats["folded_versions"] == 1 and stats["folded_through"] == 2
+
+    # tail: the stop callback commits a new version after the first
+    # refresh — the NEXT poll must fold it before the loop stops
+    seen = []
+
+    def stop(s):
+        seen.append(dict(s))
+        if len(seen) == 1:
+            _commit_state(spark, t, [("r1", "a", 7)])
+            return False
+        return s["folded_versions"] >= 1
+
+    stats = mv.follow(poll_interval_s=0.1, run_until=stop)
+    assert stats["folded_through"] == 3
+    assert mv.read().collect()[0]["sum_v"] == 7
