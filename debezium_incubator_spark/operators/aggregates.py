@@ -24,9 +24,11 @@ scaled to integral units by the caller (the oracle query uses cents).
 That is also what production IVM does at 100 TB — float accumulators
 are an audit hazard.
 
-Scale shape: each apply touches |batch| rows + |touched groups| view
-rows. The delta side of every join is batch-sized and BROADCAST; the
-view and the state never shuffle on the hot path.
+Scale shape: the fold is one union-reaggregate — a single exchange of
+~|view| + |batch| partially-aggregated rows, no joins, no broadcasts,
+skew-proof (map-side combine collapses hot groups before the shuffle).
+The only join in the operator is the dethrone recompute's semi against
+``state``, bounded to the hit groups.
 """
 
 from __future__ import annotations
@@ -77,15 +79,19 @@ def agg_view_apply(
     current rows of the keys the batch touched (the merge path already
     materializes both — merge.py's matched-row fetch).
 
-    All joins are NULL-SAFE on the group columns: a NULL group value is
-    a legitimate group (groupBy keeps it), and a name-list join would
-    never match it — the stale view row would survive every retraction
-    forever.
+    The fold is a UNION-REAGGREGATE, not a join: the view's rows and
+    the batch's signed contributions are shaped identically and run
+    through one two-level hash aggregate. One exchange of ~|view|+
+    |batch-groups| partially-aggregated rows, no broadcast, skew-proof,
+    and null-safe by construction (groupBy keys NULL like any value —
+    the join-based shape needed eqNullSafe everywhere, and Spark cannot
+    broadcast a FULL OUTER join anyway, so it silently degraded to
+    shuffling the view through a sort-merge join).
 
-    min/max maintenance: inserts extend extremes algebraically
-    (least/greatest — no recompute ever); a retraction triggers a
-    recompute ONLY for groups where the retracted value EQUALS the
-    current extreme (the one case retraction can't maintain). The
+    min/max maintenance: inserts extend extremes algebraically (the
+    same min/max fold — no recompute ever); a retraction triggers a
+    recompute ONLY for groups where the retracted value REACHES the
+    candidate extreme (the one case retraction can't maintain). The
     recompute aggregates ``state`` semi-joined to those groups — the
     aggregation is bounded to the hit groups, but the state SCAN is not
     (group columns don't prune buckets), so an extremes view pays one
@@ -93,6 +99,10 @@ def agg_view_apply(
     None when no retraction can hit an extreme (append-only feeds);
     that contract is ENFORCED at runtime — a hit with state=None raises
     mid-job instead of writing silently stale extremes.
+
+    Accumulators are longs; measures must already be in integral units
+    (the module contract) — batch contributions are cast per row, which
+    equals the old cast-after-sum only for integral inputs.
     """
     extreme_cols = extreme_cols or []
 
@@ -102,53 +112,74 @@ def agg_view_apply(
         retracted.select(*cols, F.lit(-1).alias("_sign"))
     )
     ins, ret = F.col("_sign") == 1, F.col("_sign") == -1
-    aggs = [F.sum("_sign").alias(COUNT_COL)] + [
-        F.sum(F.col(c) * F.col("_sign")).cast("long").alias(f"sum_{c}")
-        for c in measure_cols
-    ]
-    for c in extreme_cols:
-        aggs += [
-            F.min(F.when(ins, F.col(c))).alias(f"_ins_min_{c}"),
-            F.max(F.when(ins, F.col(c))).alias(f"_ins_max_{c}"),
-            F.min(F.when(ret, F.col(c))).alias(f"_ret_min_{c}"),
-            F.max(F.when(ret, F.col(c))).alias(f"_ret_max_{c}"),
-        ]
-    delta = signed.groupBy(*group_cols).agg(*aggs)
-
-    v, d = view.alias("_v"), F.broadcast(delta).alias("_d")
-
-    def vc(c):
-        return F.col(f"_v.{c}")
-
-    def dc(c):
-        return F.col(f"_d.{c}")
-
-    j = v.join(d, [vc(c).eqNullSafe(dc(c)) for c in group_cols], "full")
-
     sum_cols = [f"sum_{c}" for c in measure_cols]
-    sel = [F.coalesce(vc(c), dc(c)).alias(c) for c in group_cols] + [
-        (F.coalesce(vc(c), F.lit(0)) + F.coalesce(dc(c), F.lit(0))).alias(c)
-        for c in [COUNT_COL, *sum_cols]
-    ]
+
+    batch_parts = signed.select(
+        *group_cols,
+        F.col("_sign").cast("long").alias(COUNT_COL),
+        *[
+            (F.col(c) * F.col("_sign")).cast("long").alias(f"sum_{c}")
+            for c in measure_cols
+        ],
+        *[
+            part
+            for c in extreme_cols
+            for part in (
+                F.when(ins, F.col(c)).alias(f"_min_{c}"),
+                F.when(ins, F.col(c)).alias(f"_max_{c}"),
+                F.when(ret, F.col(c)).alias(f"_ret_min_{c}"),
+                F.when(ret, F.col(c)).alias(f"_ret_max_{c}"),
+            )
+        ],
+    )
+    view_parts = view.select(
+        *group_cols,
+        COUNT_COL,
+        *sum_cols,
+        *[
+            part
+            for c in extreme_cols
+            for part in (
+                F.col(f"min_{c}").alias(f"_min_{c}"),
+                F.col(f"max_{c}").alias(f"_max_{c}"),
+                F.lit(None).alias(f"_ret_min_{c}"),
+                F.lit(None).alias(f"_ret_max_{c}"),
+            )
+        ],
+    )
+    agg = view_parts.unionByName(batch_parts).groupBy(*group_cols).agg(
+        F.sum(COUNT_COL).cast("long").alias(COUNT_COL),
+        *[F.sum(c).cast("long").alias(c) for c in sum_cols],
+        *[
+            a
+            for c in extreme_cols
+            for a in (
+                F.min(f"_min_{c}").alias(f"min_{c}"),
+                F.max(f"_max_{c}").alias(f"max_{c}"),
+                F.min(f"_ret_min_{c}").alias(f"_ret_min_{c}"),
+                F.max(f"_ret_max_{c}").alias(f"_ret_max_{c}"),
+            )
+        ],
+    )
     redo = F.lit(False)
     for c in extreme_cols:
-        # algebraic candidates: view extreme ⊕ insert-side extreme
-        # (least/greatest skip NULLs — brand-new groups take the
-        # insert side outright)
-        cand_min = F.least(vc(f"min_{c}"), dc(f"_ins_min_{c}"))
-        cand_max = F.greatest(vc(f"max_{c}"), dc(f"_ins_max_{c}"))
         # a retraction dethrones an extreme only by retracting a value
-        # that REACHES the candidate (≤/≥ defensively). Compared against
-        # the CANDIDATE, not the view value: a telescoped range can
-        # insert 5 then retract it — the insert-side max 5 must trigger
-        # the recompute too, or the stale 5 survives. NULL comparisons
-        # (no retractions / all-NULL column) read as no-hit.
-        hit = (dc(f"_ret_min_{c}") <= cand_min) | (
-            dc(f"_ret_max_{c}") >= cand_max
+        # that REACHES the aggregated candidate (view ⊕ inserts; ≤/≥
+        # defensively) — comparing against the candidate, not the view
+        # value, also covers a telescoped range that inserts 5 then
+        # retracts it (the stale 5 must trigger the recompute). NULL
+        # comparisons (no retractions / all-NULL column) read as no-hit.
+        hit = (F.col(f"_ret_min_{c}") <= F.col(f"min_{c}")) | (
+            F.col(f"_ret_max_{c}") >= F.col(f"max_{c}")
         )
         redo = redo | F.coalesce(hit, F.lit(False))
-        sel += [cand_min.alias(f"min_{c}"), cand_max.alias(f"max_{c}")]
-    merged = j.select(*sel, redo.alias("_redo")).where(F.col(COUNT_COL) > 0)
+    merged = agg.select(
+        *group_cols,
+        COUNT_COL,
+        *sum_cols,
+        *[name for c in extreme_cols for name in (f"min_{c}", f"max_{c}")],
+        redo.alias("_redo"),
+    ).where(F.col(COUNT_COL) > 0)
 
     if not extreme_cols:
         return merged.drop("_redo")

@@ -277,6 +277,31 @@ def main():
         ],
     ))
 
+    # 10. incremental view fold: union-reaggregate, NOT a join — one
+    # partial-aggregated exchange of ~|view|+|batch| rows, skew-proof;
+    # (a broadcast full-outer join is impossible in Spark, so a
+    # join-based fold silently shuffles the view through SMJ)
+    from debezium_incubator_spark.operators.aggregates import agg_view, agg_view_apply
+
+    vst = spark.createDataFrame(
+        [(i, f"g{i % 5}", i * 10) for i in range(50)], "k int, g string, cents long"
+    )
+    aview = agg_view(vst, ["g"], ["cents"], ["cents"]).localCheckpoint()
+    vins = spark.createDataFrame([(99, "g1", 7)], "k int, g string, cents long")
+    vret = spark.createDataFrame([], "k int, g string, cents long")
+    p10 = plan_of(
+        agg_view_apply(aview, vins, vret, ["g"], ["cents"], ["cents"], state=None)
+    )
+    sections.append((
+        "Incremental view fold (join-free union-reaggregate)",
+        p10,
+        [
+            ("no join anywhere in the fold", r"^(?:(?!Join)(.|\n))*$"),
+            ("partial-then-final hash aggregate (map-side combine)",
+             r"HashAggregate(?:(.|\n))*Exchange(?:(.|\n))*HashAggregate"),
+        ],
+    ))
+
     out = ["# PLANS — physical-plan audit (generated by scripts/explain_audit.py)\n"]
     for title, plan, checks in sections:
         out.append(f"\n## {title}\n")
