@@ -72,6 +72,7 @@ def agg_view_apply(
     measure_cols: list[str],
     extreme_cols: list[str] | None = None,
     state: DataFrame | None = None,
+    probe_redo: bool = False,
 ) -> DataFrame:
     """Fold one batch's row-level effect into the view.
 
@@ -94,10 +95,14 @@ def agg_view_apply(
     candidate extreme (the one case retraction can't maintain). The
     recompute aggregates ``state`` semi-joined to those groups — the
     aggregation is bounded to the hit groups, but the state SCAN is not
-    (group columns don't prune buckets), so an extremes view pays one
-    state read per batch that dethrones an extreme. ``state`` may be
-    None when no retraction can hit an extreme (append-only feeds);
-    that contract is ENFORCED at runtime — a hit with state=None raises
+    (group columns don't prune buckets). With ``probe_redo=True`` the
+    operator materializes the (view-sized) fold and driver-checks for
+    dethroned groups first, skipping the state scan entirely when none
+    was hit — "one state read per dethroning batch" holds only under
+    the probe; without it (pure-lazy default) the scan is in the plan
+    for every batch that carries a retraction. ``state`` may be None
+    when no retraction can hit an extreme (append-only feeds); that
+    contract is ENFORCED at runtime — a hit with state=None raises
     mid-job instead of writing silently stale extremes.
 
     Accumulators are longs; measures must already be in integral units
@@ -208,6 +213,15 @@ def agg_view_apply(
         )
 
     out_cols = [c for c in merged.columns if c != "_redo"]
+    if probe_redo:
+        # driver-gated: materialize the (view-sized) fold once, check
+        # whether ANY group was actually dethroned, and skip the
+        # O(table) state scan entirely when none was — the common case
+        # for routine update batches. Costs one action; also kills the
+        # double evaluation of the fold across the ok/redone branches.
+        merged = merged.localCheckpoint()
+        if merged.filter(F.col("_redo")).isEmpty():
+            return merged.select(*out_cols)
     ok = merged.filter(~F.col("_redo")).select(*out_cols)
     redo_rows = merged.filter(F.col("_redo")).alias("_m")
     fresh = (

@@ -119,19 +119,26 @@ class MaterializedAggView:
         plan; an unmaintained view lagging thousands of engine epochs
         must not build one giant plan). Returns {"folded_versions": n,
         "folded_through": v}."""
+        if max_versions_per_apply < 1:
+            raise ValueError(
+                f"max_versions_per_apply must be ≥ 1, got {max_versions_per_apply}"
+            )
         with self.state.mutate():
             m = self.state.manifest()
             from_v = m["folded_through"]
             thru = self.table.version()
-            if thru == from_v:
-                return {"folded_versions": 0, "folded_through": from_v}
             if thru < from_v:
                 raise RuntimeError(
                     f"table at version {thru} is BEHIND the view's "
                     f"folded_through {from_v} — the table was rewound or "
                     "recreated; build() to re-derive"
                 )
+            # anchor BEFORE the caught-up return: a recreated chain that
+            # happens to sit at exactly folded_through versions must
+            # raise, not report "caught up" over a different table
             self._guard_anchor(m)
+            if thru == from_v:
+                return {"folded_versions": 0, "folded_through": from_v}
             try:
                 self._guard_schema_stable(from_v, thru)
             except FileNotFoundError as e:
@@ -163,7 +170,17 @@ class MaterializedAggView:
                     self.measure_cols,
                     self.extreme_cols,
                     state=post_state,
+                    # driver-gated dethrone check: the O(table) state
+                    # scan runs only when this chunk actually dethroned
+                    # an extreme, not for every retraction batch
+                    probe_redo=post_state is not None,
                 ).localCheckpoint()
+                # drop the previous chunk's checkpoint references
+                # promptly — CPython refcounting releases the py4j
+                # handles at rebinding and the ContextCleaner reclaims
+                # the RDD blocks; holding them across a 100-chunk lag
+                # would stack view+feed checkpoints in executor storage
+                del feed, ins, ret, post_state
                 lo = hi
             self._commit(cur, thru)
             return {"folded_versions": thru - from_v, "folded_through": thru}
@@ -177,26 +194,28 @@ class MaterializedAggView:
         """Tail the table: fold new versions as they commit — the
         continuous form of ``refresh()`` (Delta readChangeFeed-style
         tailing without a streaming source; the engine's
-        ``run_until`` idiom). With no ``run_until`` this is a DRAIN:
-        refresh until caught up, then return (availableNow semantics).
+        ``run_until`` idiom). With no ``run_until`` this is a true
+        availableNow DRAIN: the target version is pinned AT ENTRY and
+        the loop returns once folded through it — a table under
+        continuous commits cannot keep the drain alive forever.
         ``run_until(stats)`` → True stops the loop; stats accumulates
         {"refreshes", "folded_versions", "folded_through"}."""
         import time
 
+        pin = self.table.version() if run_until is None else None
         stats = {"refreshes": 0, "folded_versions": 0}
         while True:
             out = self.refresh(max_versions_per_apply)
             stats["refreshes"] += 1
             stats["folded_versions"] += out["folded_versions"]
             stats["folded_through"] = out["folded_through"]
-            if run_until is not None:
-                if run_until(stats):
-                    return stats
-                if out["folded_versions"] == 0:
-                    time.sleep(poll_interval_s)
+            if run_until is None:
+                if out["folded_through"] >= pin:
+                    return stats  # drained through the entry version
+            elif run_until(stats):
+                return stats
             elif out["folded_versions"] == 0:
-                return stats  # drained
-        # unreachable
+                time.sleep(poll_interval_s)
 
     @staticmethod
     def _expired_msg(lo: int, hi: int, e: Exception) -> str:

@@ -68,20 +68,27 @@ def main():
         key_cols=_cols(args.key_cols) or None,
     )
 
+    actions = []
     if args.rebuild or mv.version() == 0:
         mv.build()
-        out = {"action": "build", "folded_through": mv.meta()["folded_through"]}
-    elif args.follow:
+        actions.append("build")
+        out = {"folded_through": mv.meta()["folded_through"]}
+    if args.follow:
+        # build-then-follow on a fresh view: a service deployed with
+        # --follow must enter the tail loop, not exit after the build
         stop = (
             (lambda s: s["refreshes"] >= args.max_refreshes)
             if args.max_refreshes > 0
             else (lambda s: False)  # service mode: run until killed
         )
         res = mv.follow(poll_interval_s=args.poll_interval, run_until=stop)
-        out = {"action": "follow", **res}
-    else:
+        actions.append("follow")
+        out = res
+    elif not actions:
         res = mv.refresh()
-        out = {"action": "refresh", **res}
+        actions.append("refresh")
+        out = res
+    out = {"action": "+".join(actions), **out}
 
     if args.expire_keep > 0:
         out["expired"] = mv.expire(keep_last=args.expire_keep)

@@ -161,3 +161,30 @@ def test_dethroning_with_no_state_raises(spark):
     out = agg_view_apply(view, _state(spark, []), retracted, GRP, MEAS, EXT, state=None)
     with pytest.raises((Py4JJavaError, PySparkException)):
         out.collect()
+
+
+def test_probe_redo_skips_state_scan_when_nothing_dethroned(spark):
+    """probe_redo=True: a retraction that does NOT dethrone any extreme
+    must produce a plan with no state join at all — the O(table) scan
+    runs only for dethroning batches."""
+    old = _state(spark, [(1, "a", 1), (2, "a", 99), (3, "a", 50)])
+    view = agg_view(old, GRP, MEAS, EXT)
+    retracted = _state(spark, [(3, "a", 50)])  # strictly inside (1, 99)
+    new_state = _state(spark, [(1, "a", 1), (2, "a", 99)])
+    out = agg_view_apply(
+        view, _state(spark, []), retracted, GRP, MEAS, EXT,
+        state=new_state, probe_redo=True,
+    )
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "Join" not in plan  # state scan skipped entirely
+    assert _pdf(out) == [["a", 2, 100, 1, 99]]
+
+    # and a dethroning batch still recomputes correctly under the probe
+    retracted2 = _state(spark, [(2, "a", 99)])
+    out2 = agg_view_apply(
+        view, _state(spark, []), retracted2, GRP, MEAS, EXT,
+        state=_state(spark, [(1, "a", 1), (3, "a", 50)]), probe_redo=True,
+    )
+    assert _pdf(out2) == [["a", 2, 51, 1, 50]]

@@ -389,3 +389,17 @@ def test_view_maintain_job_builds_and_refreshes(spark, tmp_path):
         .collect()
     }
     assert got == exp and "r2" not in got
+
+    # --follow on a FRESH view dir must build AND enter the tail loop
+    # (not exit after the build); --max-refreshes bounds it for the test
+    s4 = _run(
+        [
+            f"{REPO}/jobs/view_maintain_job.py",
+            "--table", tdir,
+            "--view", str(tmp_path / "view_follow"),
+            "--group-cols", "repo",
+            "--follow", "--max-refreshes", "1", "--poll-interval", "0.2",
+        ]
+    )
+    assert s4["action"] == "build+follow"
+    assert s4["refreshes"] == 1

@@ -259,3 +259,29 @@ def test_follow_drains_and_tails(spark, tmp_path):
     stats = mv.follow(poll_interval_s=0.1, run_until=stop)
     assert stats["folded_through"] == 3
     assert mv.read().collect()[0]["sum_v"] == 7
+
+
+def test_recreated_at_same_version_not_reported_caught_up(spark, tmp_path):
+    """A recreated chain sitting at EXACTLY folded_through versions
+    passes the BEHIND check and hits the caught-up fast path — the
+    anchor must fire there too, not only when folding."""
+    import shutil
+
+    tdir = str(tmp_path / "table")
+    t = _mk(spark, tdir, [("r1", "a", 1)])
+    _commit_state(spark, t, [("r1", "a", 2)])
+    mv = _view(spark, tmp_path)
+    mv.build()  # folded_through = 2
+    shutil.rmtree(tdir)
+    t2 = _mk(spark, tdir, [("rX", "z", 100)])
+    _commit_state(spark, t2, [("rX", "z", 101)])  # new chain also at v2
+    with pytest.raises(RuntimeError, match="fingerprint|recreated"):
+        mv.refresh()
+
+
+def test_refresh_rejects_nonpositive_chunk_size(spark, tmp_path):
+    _mk(spark, str(tmp_path / "table"), [("r1", "a", 1)])
+    mv = _view(spark, tmp_path)
+    mv.build()
+    with pytest.raises(ValueError, match="max_versions_per_apply"):
+        mv.refresh(max_versions_per_apply=0)
