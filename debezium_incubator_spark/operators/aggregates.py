@@ -102,8 +102,10 @@ def agg_view_apply(
     the probe; without it (pure-lazy default) the scan is in the plan
     for every batch that carries a retraction. ``state`` may be None
     when no retraction can hit an extreme (append-only feeds); that
-    contract is ENFORCED at runtime — a hit with state=None raises
-    mid-job instead of writing silently stale extremes.
+    contract is ENFORCED — under ``probe_redo`` as a clean driver-time
+    error, otherwise lazily (raise_error on the offending rows) — so a
+    hit with state=None fails the job instead of writing silently
+    stale extremes.
 
     Accumulators are longs; measures must already be in integral units
     (the module contract) — batch contributions are cast per row, which
@@ -189,11 +191,24 @@ def agg_view_apply(
     if not extreme_cols:
         return merged.drop("_redo")
 
+    out_cols = [c for c in merged.columns if c != "_redo"]
     if state is None:
-        # append-only contract: enforce, don't trust — a dethroned
-        # extreme with no state to recompute from must fail the job at
-        # runtime (raise_error evaluates only on offending rows; the
-        # branch shape survives Catalyst simplification, unlike
+        if probe_redo:
+            # same driver-gated materialization as the state path, but
+            # a dethroning here is a clean driver-time error instead of
+            # a mid-write executor raise
+            merged = merged.localCheckpoint()
+            if not merged.filter(F.col("_redo")).isEmpty():
+                raise RuntimeError(
+                    "agg_view_apply: a retraction dethroned a min/max "
+                    "but state=None was passed — supply the post-batch "
+                    "state"
+                )
+            return merged.select(*out_cols)
+        # append-only contract, lazily: a dethroned extreme with no
+        # state to recompute from must fail the job at runtime
+        # (raise_error evaluates only on offending rows; the branch
+        # shape survives Catalyst simplification, unlike
         # when(c, x).otherwise(x))
         msg = F.lit(
             "agg_view_apply: a retraction dethroned a min/max but "
@@ -212,7 +227,6 @@ def agg_view_apply(
             ],
         )
 
-    out_cols = [c for c in merged.columns if c != "_redo"]
     if probe_redo:
         # driver-gated: materialize the (view-sized) fold once, check
         # whether ANY group was actually dethroned, and skip the

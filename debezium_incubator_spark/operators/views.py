@@ -173,8 +173,13 @@ class MaterializedAggView:
                     # driver-gated dethrone check: the O(table) state
                     # scan runs only when this chunk actually dethroned
                     # an extreme, not for every retraction batch
-                    probe_redo=post_state is not None,
-                ).localCheckpoint()
+                    probe_redo=True,
+                )
+                if not self.extreme_cols:
+                    # probe paths already materialized the fold (their
+                    # checkpoint truncates the lineage); a second outer
+                    # checkpoint would just double the stored copy
+                    cur = cur.localCheckpoint()
                 # drop the previous chunk's checkpoint references
                 # promptly — CPython refcounting releases the py4j
                 # handles at rebinding and the ContextCleaner reclaims
@@ -194,15 +199,15 @@ class MaterializedAggView:
         """Tail the table: fold new versions as they commit — the
         continuous form of ``refresh()`` (Delta readChangeFeed-style
         tailing without a streaming source; the engine's
-        ``run_until`` idiom). With no ``run_until`` this is a true
-        availableNow DRAIN: the target version is pinned AT ENTRY and
-        the loop returns once folded through it — a table under
-        continuous commits cannot keep the drain alive forever.
-        ``run_until(stats)`` → True stops the loop; stats accumulates
-        {"refreshes", "folded_versions", "folded_through"}."""
+        ``run_until`` idiom). With no ``run_until`` this is an
+        availableNow DRAIN — and since ``refresh()`` always folds
+        through the table version it observes at entry, one refresh IS
+        the drain; a table under continuous commits cannot keep it
+        alive. ``run_until(stats)`` → True stops the loop; stats
+        accumulates {"refreshes", "folded_versions",
+        "folded_through"}."""
         import time
 
-        pin = self.table.version() if run_until is None else None
         stats = {"refreshes": 0, "folded_versions": 0}
         while True:
             out = self.refresh(max_versions_per_apply)
@@ -210,11 +215,10 @@ class MaterializedAggView:
             stats["folded_versions"] += out["folded_versions"]
             stats["folded_through"] = out["folded_through"]
             if run_until is None:
-                if out["folded_through"] >= pin:
-                    return stats  # drained through the entry version
-            elif run_until(stats):
+                return stats  # drained: refresh folded through "now"
+            if run_until(stats):
                 return stats
-            elif out["folded_versions"] == 0:
+            if out["folded_versions"] == 0:
                 time.sleep(poll_interval_s)
 
     @staticmethod

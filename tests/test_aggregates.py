@@ -188,3 +188,19 @@ def test_probe_redo_skips_state_scan_when_nothing_dethroned(spark):
         state=_state(spark, [(1, "a", 1), (3, "a", 50)]), probe_redo=True,
     )
     assert _pdf(out2) == [["a", 2, 51, 1, 50]]
+
+
+def test_probe_redo_with_no_state_raises_driver_side(spark):
+    """probe_redo + state=None: a dethroning retraction is a clean
+    driver-time RuntimeError at call time, not a mid-write executor
+    raise."""
+    import pytest
+
+    old = _state(spark, [(1, "a", 10), (2, "a", 99)])
+    view = agg_view(old, GRP, MEAS, EXT)
+    retracted = _state(spark, [(2, "a", 99)])
+    with pytest.raises(RuntimeError, match="supply the post-batch"):
+        agg_view_apply(
+            view, _state(spark, []), retracted, GRP, MEAS, EXT,
+            state=None, probe_redo=True,
+        )
