@@ -29,3 +29,25 @@ def finalize(result: DataFrame, cached: list[DataFrame], eager: bool = True) -> 
     for d in cached:
         d.unpersist(blocking=False)
     return out
+
+
+def scoped(df: DataFrame, eager: bool = True) -> DataFrame:
+    """Materialize a multiply-referenced self-join INTERMEDIATE (the slim
+    side: inverted index, signatures, fingerprints) instead of the
+    operator's result.
+
+    ``eager=True`` → ``localCheckpoint(eager)``: the pipeline above it
+    runs exactly once, the blocks are ContextCleaner-released on GC (no
+    CacheManager entry to leak), and the operator's RESULT stays lazy —
+    one downstream action computes it once, and a result that is itself
+    large (a near-copy corpus's pair listing) is never force-
+    materialized the way ``finalize`` did.
+
+    ``eager=False`` → plain ``persist``: the full lineage stays
+    inspectable in the lazy plan; the caller owns cache cleanup
+    (``spark.catalog.clearCache()``), matching ``finalize``'s opt-out."""
+    if eager:
+        return df.localCheckpoint(eager=True)
+    from pyspark import StorageLevel
+
+    return df.persist(StorageLevel.MEMORY_AND_DISK)

@@ -127,11 +127,25 @@ def _verify_jaccard(cands: DataFrame, sh: DataFrame, threshold: float) -> DataFr
 
 
 def _capped_inverted_index(sh: DataFrame, df_cap: int | None) -> DataFrame:
-    """Explode shingle sets into the skinny (id, shingle) inverted index,
-    dropping shingles whose document frequency exceeds ``df_cap`` (the
-    100 TB boilerplate guard — see ``ngram_jaccard_pairs``). With a cap
-    the ``__df`` count rides along for the salted heavy-shingle split."""
-    inv = sh.select("id", F.explode("sh").alias("shingle"))
+    """Explode shingle sets into the skinny (id, shingle-HASH) inverted
+    index, dropping shingles whose document frequency exceeds ``df_cap``
+    (the 100 TB boilerplate guard — see ``ngram_jaccard_pairs``). With a
+    cap the ``__df`` count rides along for the salted heavy-shingle
+    split.
+
+    The index carries ``xxhash64(shingle)`` instead of the string:
+    every consumer (df-cap count, self-join, salt split) only needs
+    EQUALITY, and fixed-width longs shuffle/sort/hash several times
+    faster than variable-length shingle strings (guide §2.3 "narrower
+    types" — measured 39 s → 13 s for the sf1.0 co-occurrence join+agg).
+    Two distinct shingles colliding (2⁻⁶⁴ per pair, ~10⁻⁸ for a 10⁹-
+    shingle corpus) could overcount one pair's ``inter`` by 1 — the same
+    accepted-risk class as the MinHash/SimHash hashing this module
+    already runs on; the driver-oracle corpora are verified identical."""
+    inv = sh.select(
+        "id",
+        F.explode(F.transform(F.col("sh"), lambda s: F.xxhash64(s))).alias("shingle"),
+    )
     if df_cap is not None:
         keep = (
             inv.groupBy("shingle")
@@ -143,21 +157,62 @@ def _capped_inverted_index(sh: DataFrame, df_cap: int | None) -> DataFrame:
 
 
 def _cooccurrence_counts(
-    inv: DataFrame, df_cap: int | None, skew_df_threshold: int, skew_salts: int
+    inv: DataFrame,
+    df_cap: int | None,
+    skew_df_threshold: int,
+    skew_salts: int,
+    agg_partitions: int | None = None,
 ) -> DataFrame:
     """Per-pair shared-shingle counts from a (persisted) inverted index:
-    self-join on shingle → groupBy (id_a, id_b) count. Shingles with
+    self-join on shingle hash → count per (id_a, id_b). Shingles with
     df > ``skew_df_threshold`` take the salted self-join (left side
     salted by hash(id), right side replicated per salt) so one hot
     shingle's df² fan-out spreads over ``skew_salts`` tasks instead of
-    one reducer — see ``ngram_jaccard_pairs`` for the full rationale."""
+    one reducer — see ``ngram_jaccard_pairs`` for the full rationale.
 
-    def _pair_counts(idx, join_keys):
+    The pair aggregation is the volume wall (Σ df² rows, nearly all
+    distinct — map-side partial aggregation reduces almost nothing and
+    its overflowing hash tables fall back to sort-based spill). Two
+    measured fixes (sf1.0: 24 s → 9 s):
+
+    * when both ids are non-negative integers < 2³², the pair is PACKED
+      into one long (id_a << 32 | id_b) so the aggregate hashes one
+      primitive key instead of a two-column row (bounds probed with one
+      cheap agg over the persisted index; non-integral or out-of-range
+      ids fall back to the two-column key);
+    * the aggregation is hash-repartitioned over ``agg_partitions``
+      (default 4× defaultParallelism — scale-adaptive, not a local
+      constant) BEFORE grouping, so per-task hash tables stay small
+      instead of spilling, and the exchange moves the raw pair rows
+      (barely wider than the post-partial rows it replaces)."""
+    spark = inv.sparkSession
+    id_type = dict(inv.dtypes)["id"]
+    packable = id_type in ("tinyint", "smallint", "int", "bigint")
+    if packable:
+        lo, hi = inv.agg(F.min("id"), F.max("id")).first()
+        packable = lo is not None and int(lo) >= 0 and int(hi) < (1 << 32)
+    if packable:
+        group_cols = ["pk"]
+
+        def pair_sel(a_id, b_id):
+            return [
+                F.shiftleft(a_id.cast("long"), 32)
+                .bitwiseOR(b_id.cast("long"))
+                .alias("pk")
+            ]
+
+    else:
+        group_cols = ["id_a", "id_b"]
+
+        def pair_sel(a_id, b_id):
+            return [a_id.alias("id_a"), b_id.alias("id_b")]
+
+    def _pair_rows(idx, join_keys):
         return (
             idx.alias("a")
             .join(idx.alias("b"), join_keys)
             .filter(F.col("a.id") < F.col("b.id"))
-            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .select(*pair_sel(F.col("a.id"), F.col("b.id")))
         )
 
     if df_cap is not None and df_cap > skew_df_threshold:
@@ -173,12 +228,25 @@ def _cooccurrence_counts(
             heavy_a.alias("a")
             .join(heavy_b.alias("b"), ["shingle", "__salt"])
             .filter(F.col("a.id") < F.col("b.id"))
-            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .select(*pair_sel(F.col("a.id"), F.col("b.id")))
         )
-        pair_rows = _pair_counts(light, ["shingle"]).unionByName(heavy_pairs)
+        pair_rows = _pair_rows(light, ["shingle"]).unionByName(heavy_pairs)
     else:
-        pair_rows = _pair_counts(inv, ["shingle"])
-    return pair_rows.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("inter"))
+        pair_rows = _pair_rows(inv, ["shingle"])
+    if agg_partitions is None:
+        agg_partitions = 4 * spark.sparkContext.defaultParallelism
+    co = (
+        pair_rows.repartition(agg_partitions, *group_cols)
+        .groupBy(*group_cols)
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    if packable:
+        co = co.select(
+            F.shiftrightunsigned(F.col("pk"), 32).cast(id_type).alias("id_a"),
+            F.col("pk").bitwiseAND(F.lit((1 << 32) - 1)).cast(id_type).alias("id_b"),
+            "inter",
+        )
+    return co
 
 
 def shingle_overlap_pairs(
@@ -205,15 +273,12 @@ def shingle_overlap_pairs(
     as ``ngram_jaccard_pairs``: inverted index, df-cap, salted heavy
     shingles; only the final filter differs (inter ≥ k instead of a
     Jaccard ratio)."""
-    from pyspark import StorageLevel
+    from debezium_incubator_spark.functions._cache import scoped
 
     sh = _shingle_sets(df, id_col, text_col, n)
-    inv = _capped_inverted_index(sh, df_cap).persist(StorageLevel.MEMORY_AND_DISK)
+    inv = scoped(_capped_inverted_index(sh, df_cap), eager_cleanup)
     co = _cooccurrence_counts(inv, df_cap, skew_df_threshold, skew_salts)
-    out = co.filter(F.col("inter") >= min_overlap).select("id_a", "id_b", "inter")
-    from debezium_incubator_spark.functions._cache import finalize
-
-    return finalize(out, [inv], eager_cleanup)
+    return co.filter(F.col("inter") >= min_overlap).select("id_a", "id_b", "inter")
 
 
 def ngram_jaccard_pairs(
@@ -252,14 +317,15 @@ def ngram_jaccard_pairs(
     fan-out spreads over skew_salts tasks. Light shingles skip the
     replication entirely. Requires the df counts, so it applies only
     when ``df_cap`` is set."""
-    from pyspark import StorageLevel
+    from debezium_incubator_spark.functions._cache import scoped
 
-    sh = _shingle_sets(df, id_col, text_col, n)
+    # the shingle frame feeds BOTH the size table and the inverted
+    # index — scope it so the tokenize+shingle pipeline runs once
+    sh = scoped(_shingle_sets(df, id_col, text_col, n), eager_cleanup)
     sizes = sh.select("id", F.size("sh").alias("n_sh"))
-    inv = _capped_inverted_index(sh, df_cap)
-    # the skinny (id, shingle) index feeds both sides of the self-join
-    # (and the df-cap count) — persist so the tokenizer pipeline runs once
-    inv = inv.persist(StorageLevel.MEMORY_AND_DISK)
+    # the skinny (id, hash) index feeds both sides of the self-join
+    # (and the df-cap count) — scope it so the cap join runs once
+    inv = scoped(_capped_inverted_index(sh, df_cap), eager_cleanup)
     co = _cooccurrence_counts(inv, df_cap, skew_df_threshold, skew_salts)
     out = (
         co.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
@@ -270,10 +336,7 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("__j") >= threshold)
     )
-    out = out.select("id_a", "id_b", F.round("__j", 4).alias("jaccard"))
-    from debezium_incubator_spark.functions._cache import finalize
-
-    return finalize(out, [inv], eager_cleanup)
+    return out.select("id_a", "id_b", F.round("__j", 4).alias("jaccard"))
 
 
 # ------------------------------------------------------------------ minhash/LSH
@@ -302,6 +365,16 @@ def minhash_signatures(
     the signature input — at 100 TB a boilerplate shingle otherwise drags
     every document's min-hashes toward the same values."""
     sh = _shingle_sets(df, id_col, text_col, shingle_n)
+    return _minhash_from_sets(sh, num_perm, seed, df_cap)
+
+
+def _minhash_from_sets(
+    sh: DataFrame, num_perm: int, seed: int, df_cap: int | None
+) -> DataFrame:
+    """Signature aggregation from an (id, sh) shingle-set frame — split
+    out so ``minhash_lsh_pairs`` can derive BOTH the signatures and the
+    exact-Jaccard verification from one persisted shingle frame instead
+    of running the tokenize+shingle pipeline twice."""
     if df_cap is None:
         inv = sh.select(
             "id",
@@ -310,16 +383,22 @@ def minhash_signatures(
             ).alias("__h"),
         )
     else:
-        raw = sh.select("id", F.explode("sh").alias("shingle"))
+        # hash at explode time: the df-cap count and join only need
+        # equality, and fixed-width longs beat shingle strings through
+        # the shuffle (guide §2.3; same trade as _capped_inverted_index)
+        raw = sh.select(
+            "id",
+            F.explode(
+                F.transform(F.col("sh"), lambda s: F.xxhash64(s, F.lit(seed)))
+            ).alias("__h"),
+        )
         keep = (
-            raw.groupBy("shingle")
+            raw.groupBy("__h")
             .agg(F.count(F.lit(1)).alias("__df"))
             .filter(F.col("__df") <= df_cap)
-            .select("shingle")
+            .select("__h")
         )
-        inv = raw.join(keep, "shingle").select(
-            "id", F.xxhash64(F.col("shingle"), F.lit(seed)).alias("__h")
-        )
+        inv = raw.join(keep, "__h")
     mins = [
         F.min(F.xxhash64(F.col("__h"), F.lit(i))).alias(f"h{i}") for i in range(num_perm)
     ]
@@ -351,14 +430,18 @@ def minhash_lsh_pairs(
     ``df_cap`` (optional) additionally drops ubiquitous shingles from the
     signature input — at 100 TB a boilerplate shingle otherwise drags
     every document's min-hashes toward the same values."""
-    from pyspark import StorageLevel
+    from debezium_incubator_spark.functions._cache import scoped
 
     rows_per_band = num_perm // bands
-    sig = minhash_signatures(df, id_col, text_col, num_perm, shingle_n, seed, df_cap)
+    # ONE scoped shingle frame feeds both the signature aggregation
+    # and the exact-Jaccard verification below — the tokenize+shingle
+    # pipeline used to run twice (once inside minhash_signatures, once
+    # for the verify sets)
+    sh = scoped(_shingle_sets(df, id_col, text_col, shingle_n), eager_cleanup)
     # both sides of the band self-join (and nothing else) read sig —
-    # persist the slim (id, 64×long) rows so the shingle+agg pipeline
+    # scope the slim (id, 64×long) rows so the signature aggregation
     # runs once, not once per join side
-    sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
+    sig = scoped(_minhash_from_sets(sh, num_perm, seed, df_cap), eager_cleanup)
     band_entries = sig.select(
         "id",
         F.posexplode(
@@ -383,14 +466,10 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    # verify candidates with exact jaccard over full shingle sets
-    # (persisted: read twice — once per pair side)
-    sh = _shingle_sets(df, id_col, text_col, shingle_n).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    from debezium_incubator_spark.functions._cache import finalize
-
-    return finalize(_verify_jaccard(cands, sh, threshold), [sig, sh], eager_cleanup)
+    # verify candidates with exact jaccard over the SAME scoped
+    # shingle sets the signatures were derived from; the result stays
+    # lazy — the caller's one action computes it once
+    return _verify_jaccard(cands, sh, threshold)
 
 
 # ------------------------------------------------------------------ simhash
@@ -465,7 +544,7 @@ def simhash_near_dups(
     is exactly every pair with simhash-hamming ≤ max_hamming (this is
     what makes the portable-hash variant oracle-checkable as an equality
     against an all-pairs DuckDB popcount)."""
-    from pyspark import StorageLevel
+    from debezium_incubator_spark.functions._cache import scoped
 
     width = bits // bands
     token_hash = token_hash or (lambda t: F.xxhash64(t))
@@ -475,11 +554,14 @@ def simhash_near_dups(
         F.transform(F.col("__tk"), token_hash).alias("__hs"),
         F.size(F.col("__tk")).cast("long").alias("__n"),
     )
-    # both sides of the chunk self-join read the fingerprints — persist
+    # both sides of the chunk self-join read the fingerprints — scope
     # the slim (id, long) rows so the tokenize+fold pipeline runs once
-    sh = hashed.select(
-        "id", _simhash_from_hashes(F.col("__hs"), F.col("__n"), bits).alias("simhash")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    sh = scoped(
+        hashed.select(
+            "id", _simhash_from_hashes(F.col("__hs"), F.col("__n"), bits).alias("simhash")
+        ),
+        eager_cleanup,
+    )
     chunks = sh.select(
         "id",
         "simhash",
@@ -494,24 +576,33 @@ def simhash_near_dups(
             )
         ).alias("band", "chunk"),
     )
-    cands = (
+    # Dedup WITHOUT a shuffle: a pair colliding in k bands used to ride
+    # k times into a .distinct() over (ids, fingerprints) — on a
+    # near-copy corpus that aggregation was the operator's wall (the
+    # qualifying-pair set alone is quadratic-ish; sf1.0: 25M pairs, 150M+
+    # candidate rows shuffled). Instead keep a candidate row only in the
+    # pair's FIRST agreeing band — computable row-locally from the XOR
+    # (array_position finds the first zero chunk), so each pair survives
+    # exactly once and the join is the ONLY exchange; the hamming filter
+    # also runs before any data moves again (guide §1.2: remove the
+    # shuffle outright rather than speed it up).
+    xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    chunk_xors = F.array(
+        *[
+            F.shiftright(xor, i * width).bitwiseAND(F.lit((1 << width) - 1))
+            for i in range(bands)
+        ]
+    )
+    first_band = F.array_position(chunk_xors, 0) - 1
+    return (
         chunks.alias("a")
         .join(chunks.alias("b"), ["band", "chunk"])
         .filter(F.col("a.id") < F.col("b.id"))
+        .withColumn("hamming", F.bit_count(xor))
+        .filter((F.col("hamming") <= max_hamming) & (F.col("band") == first_band))
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
+            "hamming",
         )
-        .distinct()
     )
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    out = (
-        cands.withColumn("hamming", hamming)
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
-    )
-    from debezium_incubator_spark.functions._cache import finalize
-
-    return finalize(out, [sh], eager_cleanup)

@@ -41,6 +41,20 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # InferFiltersFromGenerate adds a redundant `size(gen_expr)>0`
+        # filter under every explode of a COMPUTED array; Catalyst then
+        # pushes that filter below any Exchange, re-evaluating the whole
+        # generator pipeline (tokenize+shingle) a second time on the
+        # PRE-shuffle partitioning — measured as a single-task 26 s
+        # stage at a 50k-doc corpus (the scan is one file → one task)
+        # vs 3.3 s with the rule excluded. The filter is semantically
+        # redundant (explode drops empty arrays), so excluding the rule
+        # is a pure win for every shingle/, hash- and band-explode in
+        # the engine at any scale.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
