@@ -35,45 +35,25 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def connected_components(
-    edges: DataFrame,
-    src: str = "id_a",
-    dst: str = "id_b",
-    max_iter: int = 50,
-    eager_cleanup: bool = True,
-) -> DataFrame:
-    """Min-label connected components over an undirected edge list.
-
-    Returns ``(id, component)`` for every node incident to an edge;
-    ``component`` is the smallest node id in the node's component
-    (natural ordering of the id type — numeric for the doc corpora).
-
-    Invariants the loop maintains (and the convergence proof):
-    ``label(x) <= x`` always, labels only ever decrease, and they are
-    bounded below by the component's min id — so the per-round changed
-    count hits 0, and at the fixpoint labels are constant across every
-    edge (both directions were propagated) ⇒ constant per component ⇒
-    equal to the component min (the min node's own label can never
-    drop below itself).
-    """
-    from pyspark import StorageLevel
-
-    sym = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-        .filter(F.col("u") != F.col("v"))  # self-loops are no-op edges
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    # label(x) := x. localCheckpoint up front: the label table is the
-    # loop-carried state and must not drag the edge-derivation plan
-    # through every round's re-analysis.
-    lab = (
-        sym.select(F.col("u").alias("id"))
-        .distinct()
-        .withColumn("comp", F.col("id"))
+def _min_label_init(sym: DataFrame) -> DataFrame:
+    """label(x) := min(x, min neighbor) — folds the first propagation
+    round into initialization (one aggregation instead of a full
+    join+jump round). Every incident node appears as ``u`` because sym
+    carries both directions. localCheckpoint: the label table is the
+    loop-carried state and must not drag the edge-derivation plan
+    through every round's re-analysis."""
+    return (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("__mv"))
+        .select(F.col("u").alias("id"), F.least("u", "__mv").alias("comp"))
         .localCheckpoint(eager=True)
     )
+
+
+def _propagate(sym: DataFrame, lab: DataFrame, max_iter: int) -> DataFrame:
+    """The min-label + pointer-jump fixpoint loop over a symmetric edge
+    list and an initial (id, comp) label table; see
+    ``connected_components`` for the invariants."""
     for _ in range(max_iter):
         # neighbor-min: for u, the smallest label over its neighbors.
         # groupBy(min) partial-aggregates map-side — the shuffle moves
@@ -104,10 +84,100 @@ def connected_components(
         lab = new.select("id", F.col("comp2").alias("comp"))
         if changed == 0:
             break
-    if eager_cleanup:
-        # lab is checkpointed — nothing downstream re-reads sym
-        sym.unpersist(blocking=False)
     return lab
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 50,
+    eager_cleanup: bool = True,
+    dedupe_edges: bool = True,
+    contract: bool = True,
+) -> DataFrame:
+    """Min-label connected components over an undirected edge list.
+
+    Returns ``(id, component)`` for every node incident to an edge;
+    ``component`` is the smallest node id in the node's component
+    (natural ordering of the id type — numeric for the doc corpora).
+
+    Invariants the loop maintains (and the convergence proof):
+    ``label(x) <= x`` always, labels only ever decrease, and they are
+    bounded below by the component's min id — so the per-round changed
+    count hits 0, and at the fixpoint labels are constant across every
+    edge (both directions were propagated) ⇒ constant per component ⇒
+    equal to the component min (the min node's own label can never
+    drop below itself).
+
+    ``dedupe_edges=False`` skips the symmetric list's ``distinct`` when
+    the caller guarantees unique ``src < dst`` pairs (true for every
+    pair detector in this package — their pairs come out of a groupBy);
+    duplicates would only cost work, never correctness, so this is a
+    pure shuffle removal (guide §2.4: a distinct on already-unique
+    data).
+
+    ``contract=True`` (star contraction, the Kiveris et al. family):
+    after the init round assigns every node a CONNECTED representative
+    (min of itself and its neighbors), the edge list is relabeled to
+    representatives and deduplicated — on the near-copy corpora this
+    collapses the clique mass so the iterative rounds run over the
+    contracted graph (orders of magnitude fewer edges), and the final
+    labels compose back through the representative mapping. Contracting
+    by a connected representative preserves components, contracted node
+    ids are original node ids, so the inner fixpoint still yields the
+    component min.
+    """
+    from pyspark import StorageLevel
+
+    sym_raw = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .filter(F.col("u") != F.col("v"))  # self-loops are no-op edges
+    )
+    sym = (sym_raw.distinct() if dedupe_edges else sym_raw).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    lab = _min_label_init(sym)
+    if not contract:
+        out = _propagate(sym, lab, max_iter)
+        if eager_cleanup:
+            # lab is checkpointed — nothing downstream re-reads sym
+            sym.unpersist(blocking=False)
+        return out
+    # star contraction: edges between representatives, normalized + deduped
+    cu = lab.select(F.col("id").alias("u"), F.col("comp").alias("__cu"))
+    cv = lab.select(F.col("id").alias("v"), F.col("comp").alias("__cv"))
+    e1 = (
+        sym.join(cu, "u")
+        .join(cv, "v")
+        .select(
+            F.least("__cu", "__cv").alias("u"), F.greatest("__cu", "__cv").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    sym1 = (
+        e1.unionByName(e1.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    comp1 = _propagate(sym1, _min_label_init(sym1), max_iter)
+    # compose: a node's representative may itself have been relabeled;
+    # representatives whose class swallowed their whole neighborhood are
+    # absent from the contracted graph and keep their own label
+    out = (
+        lab.join(
+            comp1.select(F.col("id").alias("comp"), F.col("comp").alias("__final")),
+            "comp",
+            "left",
+        )
+        .select("id", F.coalesce("__final", "comp").alias("comp"))
+        .localCheckpoint(eager=True)
+    )
+    if eager_cleanup:
+        sym.unpersist(blocking=False)
+        sym1.unpersist(blocking=False)
+    return out
 
 
 def dedup_clusters(
@@ -128,7 +198,11 @@ def dedup_clusters(
     corpus, so broadcasting it is wrong at 100 TB; AQE will still
     broadcast when the component table happens to be small.
     """
-    comp = connected_components(pairs, src=src, dst=dst, max_iter=max_iter)
+    # pair detectors emit unique src < dst rows out of a groupBy — the
+    # symmetric list needs no dedup shuffle (see connected_components)
+    comp = connected_components(
+        pairs, src=src, dst=dst, max_iter=max_iter, dedupe_edges=False
+    )
     out = docs.select(id_col).join(
         comp.withColumnRenamed("id", id_col), id_col, "left"
     )
