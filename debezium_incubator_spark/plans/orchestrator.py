@@ -268,6 +268,30 @@ class MultiTableCDC:
                 warnings.warn(f"DDL for unregistered table {tbl!r} skipped: {kind}")
         return applied
 
+    def _stats_homogeneous(self) -> bool:
+        """True when every engine computes batch stats identically —
+        same prefilter inputs (key cols, table regexes, field blacklist)
+        and the same bucket function (bucket cols + count) — so ONE
+        prefiltered per-(table, bucket) stats pass over a shared batch
+        is row-exact for all of them. Mid-stream DDL can add tables, so
+        this is re-checked per micro-batch (manifest reads are cached)."""
+
+        def sig(e):
+            m = e.table.manifest()
+            return (
+                tuple(e.key_cols),
+                e.include_regex,
+                e.exclude_regex,
+                tuple(e.field_blacklist),
+                e.exclude_system,
+                tuple(m["bucket_cols"]),
+                int(m["num_buckets"]),
+            )
+
+        engs = list(self.engines.values())
+        first = sig(engs[0])
+        return all(sig(e) == first for e in engs[1:])
+
     # ------------------------------------------------------------- lifecycle
     def _for_each_engine(self, fn) -> dict[str, Any]:
         """Run ``fn(name, engine)`` for every registered engine — through
@@ -378,6 +402,43 @@ class MultiTableCDC:
             }
             global_top = max((t for _, _, t in stats.values()), default=-1)
 
+            # ONE prefiltered per-(table, bucket) stats pass replaces the
+            # N per-table batch_stats_rows collects inside merge_upsert —
+            # N engines were re-deriving identical stats from the same
+            # cached batch, one extra Spark job per table per trigger
+            # (guide §2.4: do the work once). Sound when every engine
+            # shares the stats-relevant config (same prefilter + bucket
+            # function — checked below); a table consumes its slice of
+            # this pass only when the slice lies strictly beyond every
+            # replay-guard mark, so pre-guard stats are exactly what its
+            # merge would have collected (checked per table in apply_one).
+            bucket_stats: dict[str, list] = {}
+            shared_stats_ran = bool(self.engines) and self._stats_homogeneous()
+            if shared_stats_ran:
+                from debezium_incubator_spark.lake.table import BUCKET_COL
+
+                any_eng = next(iter(self.engines.values()))
+                pre = any_eng.table.with_bucket(any_eng._prefilter(batch))
+                key_len = sum(
+                    (
+                        F.coalesce(F.length(F.col(k).cast("string")), F.lit(0))
+                        for k in any_eng.key_cols
+                    ),
+                    F.lit(0),
+                )
+                for r in (
+                    pre.groupBy(F.col(table_field).alias("__t"), F.col(BUCKET_COL))
+                    .agg(
+                        F.max("offset").alias("max_off"),
+                        F.count(F.lit(1)).alias("n"),
+                        F.sum(F.col("op").isin("d", "t").cast("long")).alias("n_del"),
+                        F.sum((F.col("op") == "t").cast("long")).alias("n_tomb"),
+                        F.sum(key_len).alias("key_bytes"),
+                    )
+                    .collect()
+                ):
+                    bucket_stats.setdefault(r["__t"], []).append(r)
+
             def apply_one(name, eng):
                 # carried ckpt first (holds unpersisted heartbeat
                 # positions); _reconcile folds it forward if the TABLE
@@ -452,8 +513,26 @@ class MultiTableCDC:
                     # genuine disorder again on the very next batch
                     ckpt = {**ckpt, "oob_replay_until": -1}
                 rows = batch.filter(F.col(table_field) == F.lit(name))
+                # the shared per-bucket stats describe PRE-guard rows;
+                # they stand in for the merge's own collect only when
+                # this table's slice is strictly beyond every replay-
+                # guard mark (then the guard provably drops nothing)
+                floor = max(
+                    [last]
+                    + [int(v) for v in ckpt.get("max_offsets", {}).values()]
+                )
+                # an absent key under a completed shared pass means the
+                # prefilter dropped every row — [] takes the zero-job
+                # heartbeat path, same outcome the merge's own empty
+                # stats collect would have produced
+                st = (
+                    bucket_stats.get(name, [])
+                    if shared_stats_ran and lo_t > floor
+                    else None
+                )
                 self._ckpts[name] = eng.apply_epoch(
-                    rows, stream_pos=max(global_top, last), ckpt=ckpt
+                    rows, stream_pos=max(global_top, last), ckpt=ckpt,
+                    stats_rows=st,
                 )
 
             # per-table merges overlap on the driver thread pool: the
