@@ -102,10 +102,20 @@ def ngram_contamination(
     (train doc id, benchmark doc id, n shared grams). The benchmark side
     is small → its exploded gram index broadcasts; the train side is one
     scan + explode, met only on equal grams."""
+    # grams ride as xxhash64 longs: the join, distinct and per-pair
+    # distinct-count only need equality, and fixed-width longs beat the
+    # ~50-char 13-gram strings through the broadcast and the aggregation
+    # (guide §2.3 "narrower types"; same accepted collision class as the
+    # MinHash/shingle-index hashing — 2⁻⁶⁴ per distinct-gram pair)
     def grams(df, alias):
         toks = df.select(F.col(id_col).alias(alias), _tokens(F.col(text_col)).alias("__tk"))
         return toks.select(
-            alias, F.explode(shingles_from_tokens(F.col("__tk"), n)).alias("gram")
+            alias,
+            F.explode(
+                F.transform(
+                    shingles_from_tokens(F.col("__tk"), n), lambda g: F.xxhash64(g)
+                )
+            ).alias("gram"),
         )
 
     t = grams(train, "train_id")

@@ -78,6 +78,19 @@ def step_changes(
 ) -> DataFrame:
     """Row-level changes of the single commit ``version-1 → version``."""
     key_cols = key_cols or table.manifest(version)["bucket_cols"]
+    # ADVICE r5: a step that renames/drops a KEY column would otherwise
+    # surface as a raw AnalysisException out of aligned()'s select —
+    # the feed's row identity is not well-defined across such a step,
+    # so say exactly that
+    for v in (version - 1, version):
+        missing = [k for k in key_cols if k not in _visible_names(table, v)]
+        if missing:
+            raise ValueError(
+                f"change feed key column(s) {missing} not present in table "
+                f"version {v}'s schema — a key/bucket column changed across "
+                f"step {version - 1}→{version}; row-level changes are not "
+                "well-defined across it"
+            )
     buckets = changed_buckets(table, version)
     new = table.read(spark, version=version, buckets=buckets)
     old = table.read(spark, version=version - 1, buckets=buckets)

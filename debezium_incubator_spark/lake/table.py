@@ -577,7 +577,16 @@ class LakeTable:
             keep = set(range(lo, cur + 1))
             live_dirs: set[str] = set()
             for v in keep:
-                for files in self.manifest(v)["buckets"].values():
+                try:
+                    m = self.manifest(v)
+                except FileNotFoundError:
+                    # ADVICE r5: a stale consumer floor can point at/below
+                    # a version a previous floor-less expire already
+                    # deleted — that version is gone either way; skipping
+                    # it (mirroring VersionedState.expire) keeps
+                    # maintenance alive instead of crashing permanently
+                    continue
+                for files in m["buckets"].values():
                     for fi in files:
                         live_dirs.add(fi["path"].split("/")[1])
             removed = []

@@ -180,9 +180,24 @@ def agg_view_apply(
             F.col(f"_ret_max_{c}") >= F.col(f"max_{c}")
         )
         redo = redo | F.coalesce(hit, F.lit(False))
+    # ADVICE r5: a count that went NEGATIVE is an unmatched retraction
+    # (feed/state inconsistency) — fail loudly instead of letting the
+    # `> 0` filter silently vanish the group (the module's posture for
+    # the state=None dethrone case). The raise lives in the when-branch
+    # with a DIFFERENT otherwise, so Catalyst cannot simplify it away.
+    guarded_count = F.when(
+        F.col(COUNT_COL) < 0,
+        F.raise_error(
+            F.concat(
+                F.lit("agg_view_apply: negative group count (unmatched "
+                      "retraction — feed and view state are inconsistent): "),
+                F.col(COUNT_COL).cast("string"),
+            )
+        ).cast("long"),
+    ).otherwise(F.col(COUNT_COL))
     merged = agg.select(
         *group_cols,
-        COUNT_COL,
+        guarded_count.alias(COUNT_COL),
         *sum_cols,
         *[name for c in extreme_cols for name in (f"min_{c}", f"max_{c}")],
         redo.alias("_redo"),

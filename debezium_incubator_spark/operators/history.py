@@ -95,7 +95,19 @@ def scd2_apply(
     first_off = batch.groupBy(*key_cols).agg(
         F.min(offset_col).alias("_batch_first_off")
     )
-    joined = history.join(F.broadcast(first_off), key_cols, "left")
+    # ADVICE r5: a name-list equi-join is NULL-unsafe, so a NULL-keyed
+    # open version would never be closed by a later batch (while the
+    # versioning window upstream treats a NULL key as a regular group —
+    # full rebuild != incremental fold). Join with eqNullSafe instead.
+    fo = first_off.select(
+        *[F.col(k).alias(f"__fo_{k}") for k in key_cols], "_batch_first_off"
+    )
+    cond = F.lit(True)
+    for k in key_cols:
+        cond = cond & F.col(k).eqNullSafe(F.col(f"__fo_{k}"))
+    joined = history.join(F.broadcast(fo), cond, "left").drop(
+        *[f"__fo_{k}" for k in key_cols]
+    )
     closed = joined.select(
         *key_cols,
         "valid_from",

@@ -74,7 +74,14 @@ class MaterializedAggView:
         self.group_cols = list(group_cols)
         self.measure_cols = list(measure_cols)
         self.extreme_cols = list(extreme_cols or [])
-        self.key_cols = key_cols
+        # ADVICE r5: stamp the RESOLVED key columns (incl. the
+        # bucket_cols default) — a maintainer resumed with different
+        # key_cols would otherwise pass the params check while the CDF
+        # full-outer-join grain (hence the reconstructed feed) silently
+        # changed under non-row-unique keys
+        self.key_cols = (
+            list(key_cols) if key_cols else list(self.table.manifest()["bucket_cols"])
+        )
         self.state = VersionedState(
             spark,
             path,
@@ -83,6 +90,7 @@ class MaterializedAggView:
                 "group_cols": self.group_cols,
                 "measure_cols": self.measure_cols,
                 "extreme_cols": self.extreme_cols,
+                "key_cols": self.key_cols,
             },
         )
 
