@@ -120,3 +120,21 @@ def test_shingle_overlap_pairs_feed(spark):
         for r in dedup_clusters(docs, pairs).collect()
     }
     assert clusters == {1: 1, 2: 1, 3: 1, 4: 4}
+
+
+def test_contraction_and_edge_dedup_flags_agree(spark):
+    """r6: star contraction and the dedupe_edges fast path are pure
+    optimizations — all flag combinations produce the union-find answer
+    on random graphs (edges pre-normalized unique a<b, as the pair
+    detectors emit them)."""
+    rng = random.Random(7)
+    n = 80
+    raw = {(min(a, b), max(a, b)) for a, b in
+           ((rng.randrange(n), rng.randrange(n)) for _ in range(n))
+           if a != b} | {(i, i + 1) for i in range(12)}
+    edges = sorted(raw)
+    want = _uf_components(n, edges)
+    for contract in (True, False):
+        for dedupe in (True, False):
+            got = _cc_dict(spark, edges, contract=contract, dedupe_edges=dedupe)
+            assert got == want, (contract, dedupe)

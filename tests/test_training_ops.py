@@ -429,3 +429,43 @@ def test_hashed_ngram_embedding_fold_and_plan(spark, docs):
     # NULL text (a delete image) -> NULL embedding, not a crash
     nul = spark.createDataFrame([(9, None)], "doc_id long, text string")
     assert tx.with_hashed_ngram_embedding(nul, dim=dim).first()["embedding"] is None
+
+
+def test_cooccurrence_packed_and_fallback_pair_keys(spark):
+    """r6: the co-occurrence aggregation packs (id_a,id_b) into one long
+    only when ids fit [0, 2^32); ids beyond the bound (and string ids)
+    take the two-column fallback — all paths must emit the same pairs."""
+    rows = [(i, f"alpha beta gamma delta epsilon zeta token{i % 3} end") for i in range(12)]
+    small = spark.createDataFrame(rows, "doc_id long, text string")
+    big = spark.createDataFrame(
+        [(i + (1 << 33), t) for i, t in rows], "doc_id long, text string"
+    )
+    strid = spark.createDataFrame(
+        [(f"doc{i:04d}", t) for i, t in rows], "doc_id string, text string"
+    )
+    base = {(a, b, n) for a, b, n in
+            ((r["id_a"], r["id_b"], r["inter"])
+             for r in dd.shingle_overlap_pairs(small, min_overlap=2).collect())}
+    assert base
+    got_big = {(a - (1 << 33), b - (1 << 33), n) for a, b, n in
+               ((r["id_a"], r["id_b"], r["inter"])
+                for r in dd.shingle_overlap_pairs(big, min_overlap=2).collect())}
+    assert got_big == base
+    got_str = {(int(a[3:]), int(b[3:]), n) for a, b, n in
+               ((r["id_a"], r["id_b"], r["inter"])
+                for r in dd.shingle_overlap_pairs(strid, min_overlap=2).collect())}
+    assert got_str == base
+
+
+def test_simhash_first_band_emits_each_pair_once(spark):
+    """r6: the first-agreeing-band filter replaced the candidate
+    .distinct() — identical docs collide in EVERY band and must still
+    surface exactly once per pair."""
+    docs = spark.createDataFrame(
+        [(i, "the very same text in every document here") for i in range(6)],
+        "doc_id long, text string",
+    )
+    got = [(r["id_a"], r["id_b"], r["hamming"])
+           for r in dd.simhash_near_dups(docs, max_hamming=3).collect()]
+    assert len(got) == len(set(got)) == 15  # C(6,2), no duplicates
+    assert all(h == 0 for _, _, h in got)
