@@ -35,6 +35,23 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _symmetrize(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """(u,v) ∪ (v,u) built by exploding a two-struct array — ONE
+    evaluation of the edge frame (a union of two selects computes its
+    input once per branch), self-loops dropped."""
+    e = F.explode(
+        F.array(
+            F.struct(F.col(src).alias("u"), F.col(dst).alias("v")),
+            F.struct(F.col(dst).alias("u"), F.col(src).alias("v")),
+        )
+    ).alias("e")
+    return (
+        edges.select(e)
+        .select("e.u", "e.v")
+        .filter(F.col("u") != F.col("v"))  # self-loops are no-op edges
+    )
+
+
 def _min_label_init(sym: DataFrame) -> DataFrame:
     """label(x) := min(x, min neighbor) — folds the first propagation
     round into initialization (one aggregation instead of a full
@@ -130,11 +147,11 @@ def connected_components(
     """
     from pyspark import StorageLevel
 
-    sym_raw = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-        .filter(F.col("u") != F.col("v"))  # self-loops are no-op edges
-    )
+    # both directions in ONE pass over the edge frame (explode of a
+    # 2-struct array) — a union of two selects would evaluate the whole
+    # upstream pair pipeline once per branch when the caller hands us a
+    # lazy edge listing
+    sym_raw = _symmetrize(edges, src, dst)
     sym = (sym_raw.distinct() if dedupe_edges else sym_raw).persist(
         StorageLevel.MEMORY_AND_DISK
     )
@@ -157,10 +174,7 @@ def connected_components(
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
-    sym1 = (
-        e1.unionByName(e1.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    sym1 = _symmetrize(e1, "u", "v").persist(StorageLevel.MEMORY_AND_DISK)
     comp1 = _propagate(sym1, _min_label_init(sym1), max_iter)
     # compose: a node's representative may itself have been relabeled;
     # representatives whose class swallowed their whole neighborhood are
