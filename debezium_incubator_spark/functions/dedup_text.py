@@ -587,13 +587,13 @@ def simhash_near_dups(
     # also runs before any data moves again (guide §1.2: remove the
     # shuffle outright rather than speed it up).
     xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-    chunk_xors = F.array(
-        *[
-            F.shiftright(xor, i * width).bitwiseAND(F.lit((1 << width) - 1))
-            for i in range(bands)
-        ]
-    )
-    first_band = F.array_position(chunk_xors, 0) - 1
+    # first agreeing band as a when-chain over the shifted XOR — no
+    # per-row array allocation (this predicate runs once per candidate
+    # row, ~150M times at sf1.0)
+    first_band = F.lit(-1)
+    for i in reversed(range(bands)):
+        chunk_xor = F.shiftright(xor, i * width).bitwiseAND(F.lit((1 << width) - 1))
+        first_band = F.when(chunk_xor == 0, F.lit(i)).otherwise(first_band)
     return (
         chunks.alias("a")
         .join(chunks.alias("b"), ["band", "chunk"])
