@@ -306,6 +306,7 @@ class LakeTable:
         summary: dict | None = None,
         expected_version: int | None = None,
         write_tasks: int | None = None,
+        summary_fn=None,
     ) -> int:
         """Copy-on-write commit: rewrite ``replace_buckets`` with ``df``.
 
@@ -320,7 +321,15 @@ class LakeTable:
         its partition directory (the manifest already lists multiple
         files per bucket). Default keys on bucket alone — one reducer per
         touched bucket — which is only right when buckets are small.
+
+        ``summary_fn`` (exclusive with ``summary``): a callable resolved
+        AFTER the data write, just before the manifest is published —
+        lets a caller overlap a summary-feeding Spark job (the batch
+        stats collect) with the write job instead of serializing the two
+        (the manifest is only assembled post-write anyway).
         """
+        if summary_fn is not None and summary is not None:
+            raise ValueError("pass summary or summary_fn, not both")
         with self._writer_lock():
             m = self.manifest()
             if expected_version is not None and m["version"] != expected_version:
@@ -390,6 +399,8 @@ class LakeTable:
                             {"path": fp, "schema": sv, "rows": rows}
                         )
 
+            if summary_fn is not None:
+                summary = summary_fn()
             m_new = dict(m)
             m_new.update(
                 version=new_version,

@@ -113,20 +113,39 @@ def merge_upsert(
         else table.with_bucket(batch, m)
     )
     order0 = order_cols[0]
-    if stats_rows is None:
+    target_empty = not m["buckets"]
+    stats_fut = stats_pool = None
+    if stats_rows is None and target_empty:
+        # EMPTY-target fast path (bootstrap): the stats only feed the
+        # manifest summary, which commit assembles AFTER the data write —
+        # so the collect runs CONCURRENTLY with the write job instead of
+        # serializing ahead of it (same two-jobs-in-flight soundness as
+        # run()'s stats prefetch; the serial stats latency was ~2-3 s of
+        # every sf1.0 snapshot). A quick isEmpty probe preserves the
+        # no-commit contract for an empty batch.
+        if b.isEmpty():
+            return table.version(), {"max_offsets": {}, "counters": {"events_in": 0}}
+        from concurrent.futures import ThreadPoolExecutor
+
+        stats_pool = ThreadPoolExecutor(max_workers=1)
+        stats_fut = stats_pool.submit(
+            batch_stats_rows, b, key_cols, order0, op_col, delete_ops
+        )
+    elif stats_rows is None:
         stats_rows = batch_stats_rows(b, key_cols, order0, op_col, delete_ops)
-    if not stats_rows:
+    if stats_fut is None and not stats_rows:
         return table.version(), {"max_offsets": {}, "counters": {"events_in": 0}}
 
-    changed = sorted(int(r[BUCKET_COL]) for r in stats_rows)
-    max_offsets = {str(int(r[BUCKET_COL])): int(r["max_off"]) for r in stats_rows}
-    events_in = sum(int(r["n"]) for r in stats_rows)
-    n_del = sum(int(r["n_del"]) for r in stats_rows)
-    n_tomb = sum(int(r["n_tomb"]) for r in stats_rows)
-    # estimated driver-side size of the broadcast key set: measured key
-    # bytes + ~48 B/row HashedRelation overhead (gate on BYTES, not rows:
-    # 4M long (repo, path) strings would be hundreds of MB on the driver)
-    key_bytes_est = sum(int(r["key_bytes"] or 0) for r in stats_rows) + 48 * events_in
+    if stats_fut is None:
+        changed = sorted(int(r[BUCKET_COL]) for r in stats_rows)
+        max_offsets = {str(int(r[BUCKET_COL])): int(r["max_off"]) for r in stats_rows}
+        events_in = sum(int(r["n"]) for r in stats_rows)
+        n_del = sum(int(r["n_del"]) for r in stats_rows)
+        n_tomb = sum(int(r["n_tomb"]) for r in stats_rows)
+        # estimated driver-side size of the broadcast key set: measured key
+        # bytes + ~48 B/row HashedRelation overhead (gate on BYTES, not rows:
+        # 4M long (repo, path) strings would be hundreds of MB on the driver)
+        key_bytes_est = sum(int(r["key_bytes"] or 0) for r in stats_rows) + 48 * events_in
 
     extra = [c for c in (op_col, BUCKET_COL, after_set_col) if c]
     partial = after_set_col is not None and not assume_unique_keys
@@ -154,8 +173,7 @@ def merge_upsert(
             *key_cols, *payload_cols, *extra
         )
 
-    target_empty = not m["buckets"]
-    target_rows = table.row_count(buckets=changed, manifest=m)
+    target_rows = 0 if target_empty else table.row_count(buckets=changed, manifest=m)
     # Strategy choice from table stats (≙ a cost-based MERGE plan):
     #  * broadcast-anti — batch keys ≪ target rows (the 100 TB steady
     #    state): the huge target side never shuffles; batch keys ride a
@@ -246,17 +264,65 @@ def merge_upsert(
             *key_cols, *payload_cols, BUCKET_COL
         )
 
-    counters = {
-        "events_in": events_in,
-        "deletes": n_del,
-        "tombstones": n_tomb,
-        "buckets_touched": len(changed),
-    }
-    if extra_counters:
-        counters.update(extra_counters)
-    full_summary = dict(summary or {})
-    full_summary["max_offsets"] = max_offsets
-    full_summary["counters"] = counters
+    def _finalize_stats(rows):
+        ch = sorted(int(r[BUCKET_COL]) for r in rows)
+        mo = {str(int(r[BUCKET_COL])): int(r["max_off"]) for r in rows}
+        cs = {
+            "events_in": sum(int(r["n"]) for r in rows),
+            "deletes": sum(int(r["n_del"]) for r in rows),
+            "tombstones": sum(int(r["n_tomb"]) for r in rows),
+            "buckets_touched": len(ch),
+        }
+        if extra_counters:
+            cs.update(extra_counters)
+        fs = dict(summary or {})
+        fs["max_offsets"] = mo
+        fs["counters"] = cs
+        return mo, cs, fs
+
+    if stats_fut is not None:
+        # overlapped path: the stats job has been running alongside plan
+        # construction; commit resolves it AFTER the data write. The
+        # write shuffle is sized from the PLAN's size estimate (no extra
+        # job) toward ~256 MB per task, clamped sanely; replace_buckets
+        # covers the whole (empty) bucket range so the manifest lists
+        # exactly the buckets the write produced.
+        holder: dict = {}
+
+        def _summary_fn():
+            holder["res"] = _finalize_stats(stats_fut.result())
+            return holder["res"][2]
+
+        # plan-size estimates are only trustworthy for file-scan-rooted
+        # plans (a local relation reported ~TB for one row — 11k write
+        # tasks); clamp to 8× the cluster's parallelism so a bogus
+        # estimate costs bounded scheduling, while a genuinely huge
+        # snapshot still spreads its buckets over many salted writers
+        try:
+            est_bytes = int(
+                str(out._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+            )
+        except Exception:
+            est_bytes = 0
+        par_cap = 8 * spark.sparkContext.defaultParallelism
+        write_tasks = int(
+            max(m["num_buckets"], min(est_bytes // (256 << 20), par_cap))
+        )
+        try:
+            version = table.commit(
+                out,
+                replace_buckets=range(m["num_buckets"]),
+                summary_fn=_summary_fn,
+                write_tasks=write_tasks,
+            )
+        finally:
+            stats_pool.shutdown(wait=True)
+            if latest.is_cached:
+                latest.unpersist()
+        mo, cs, _ = holder["res"]
+        return version, {"max_offsets": mo, "counters": cs}
+
+    max_offsets, counters, full_summary = _finalize_stats(stats_rows)
     # size the CoW write shuffle by estimated output volume: a touched
     # 200 GB bucket must never funnel through ONE reducer (the salt in
     # LakeTable.commit spreads it; partitionBy keeps the layout)
